@@ -1,0 +1,58 @@
+"""Reader/writer registry.
+
+Capability parity: /root/reference/nnunetv2/imageio/reader_writer_registry.py:23-76
+(selection by dataset.json 'overwrite_image_reader_writer', else by file ending).
+Explicit registry instead of reflection. Reference backend names (SimpleITKIO,
+NibabelIO, ...) alias to NiftiIO so nnU-Net dataset.json files load unchanged.
+"""
+from __future__ import annotations
+
+from typing import Optional, Type
+
+from anatomask_tpu.imageio.base import BaseReaderWriter
+from anatomask_tpu.imageio.nifti import NiftiIO
+from anatomask_tpu.imageio.numpy_io import NumpyIO
+
+_REGISTRY = {
+    "NiftiIO": NiftiIO,
+    "NumpyIO": NumpyIO,
+    # aliases for nnU-Net dataset.json compatibility
+    "SimpleITKIO": NiftiIO,
+    "NibabelIO": NiftiIO,
+    "NibabelIOWithReorient": NiftiIO,
+}
+
+_ENDING_MAP = [
+    ([".nii", ".nii.gz"], NiftiIO),
+    ([".npy", ".npz"], NumpyIO),
+]
+
+
+def register_reader_writer(name: str, cls: Type[BaseReaderWriter]):
+    _REGISTRY[name] = cls
+
+
+def find_reader_writer_by_name(name: str) -> Type[BaseReaderWriter]:
+    if name not in _REGISTRY:
+        raise RuntimeError(
+            f"Unknown reader/writer {name!r}. Registered: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def determine_reader_writer_from_file_ending(file_ending: str) -> Type[BaseReaderWriter]:
+    for endings, cls in _ENDING_MAP:
+        if any(file_ending.endswith(e) for e in endings):
+            return cls
+    raise RuntimeError(f"No reader/writer registered for file ending {file_ending!r}")
+
+
+def determine_reader_writer_from_dataset_json(
+    dataset_json: dict, example_file: Optional[str] = None
+) -> Type[BaseReaderWriter]:
+    if dataset_json.get("overwrite_image_reader_writer") not in (None, "None"):
+        return find_reader_writer_by_name(dataset_json["overwrite_image_reader_writer"])
+    ending = dataset_json.get("file_ending")
+    if ending is None and example_file is not None:
+        ending = "." + example_file.split(".", 1)[1]
+    return determine_reader_writer_from_file_ending(ending)

@@ -1,0 +1,79 @@
+import numpy as np
+import pytest
+
+from anatomask_tpu.imageio.nifti import NiftiIO, read_nifti, write_nifti
+from anatomask_tpu.imageio.numpy_io import NumpyIO
+from anatomask_tpu.imageio.registry import (
+    determine_reader_writer_from_dataset_json,
+    determine_reader_writer_from_file_ending,
+    find_reader_writer_by_name,
+)
+
+
+def test_nifti_write_read_roundtrip(tmp_path, rng):
+    data = rng.rand(7, 9, 11).astype(np.float32)
+    f = str(tmp_path / "img.nii.gz")
+    write_nifti(f, data, spacing_xyz=(1.5, 2.0, 2.5))
+    back, hdr = read_nifti(f)
+    np.testing.assert_allclose(back, data, rtol=1e-6)
+    assert hdr["pixdim"][1:4] == pytest.approx((1.5, 2.0, 2.5))
+
+
+def test_nifti_io_channels_and_spacing(tmp_path, rng):
+    # write two channel files, read as multi-channel image
+    vol = rng.rand(6, 8, 10).astype(np.float32)  # disk order (x, y, z)
+    for c in range(2):
+        write_nifti(str(tmp_path / f"case_{c:04d}.nii.gz"), vol + c, spacing_xyz=(1.0, 2.0, 3.0))
+    io = NiftiIO()
+    img, props = io.read_images([str(tmp_path / f"case_{c:04d}.nii.gz") for c in range(2)])
+    assert img.shape == (2, 10, 8, 6)  # (c, z, y, x)
+    assert props["spacing"] == pytest.approx([3.0, 2.0, 1.0])
+    np.testing.assert_allclose(img[1] - img[0], 1.0, atol=1e-6)
+
+
+def test_nifti_seg_roundtrip_preserves_geometry(tmp_path, rng):
+    vol = (rng.rand(5, 6, 7) * 3).astype(np.float32)
+    src = str(tmp_path / "img.nii.gz")
+    write_nifti(src, vol, spacing_xyz=(0.7, 0.8, 0.9))
+    io = NiftiIO()
+    img, props = io.read_images([src])
+    seg = (img[0] > 1).astype(np.uint8)
+    out = str(tmp_path / "seg.nii.gz")
+    io.write_seg(seg, out, props)
+    seg_back, props_back = io.read_seg(out)
+    np.testing.assert_array_equal(seg_back[0].astype(np.uint8), seg)
+    assert props_back["spacing"] == pytest.approx(props["spacing"])
+
+
+def test_nifti_scl_slope_applied(tmp_path, rng):
+    import struct
+    data = (rng.rand(4, 4, 4) * 100).astype(np.int16)
+    f = str(tmp_path / "scaled.nii")
+    write_nifti(f, data, spacing_xyz=(1, 1, 1))
+    raw = bytearray(open(f, "rb").read())
+    struct.pack_into("<f", raw, 112, 2.0)   # scl_slope
+    struct.pack_into("<f", raw, 116, 10.0)  # scl_inter
+    open(f, "wb").write(bytes(raw))
+    back, _ = read_nifti(f)
+    np.testing.assert_allclose(back, data.astype(np.float32) * 2 + 10, rtol=1e-6)
+
+
+def test_numpy_io_roundtrip(tmp_path, rng):
+    arr = rng.rand(5, 6, 7).astype(np.float32)
+    np.save(tmp_path / "case_0000.npy", arr)
+    io = NumpyIO()
+    img, props = io.read_images([str(tmp_path / "case_0000.npy")])
+    assert img.shape == (1, 5, 6, 7)
+    io.write_seg((img[0] > 0.5).astype(np.uint8), str(tmp_path / "seg.npy"), props)
+    seg, _ = io.read_seg(str(tmp_path / "seg.npy"))
+    assert seg.shape == (1, 5, 6, 7)
+
+
+def test_registry():
+    assert determine_reader_writer_from_file_ending(".nii.gz") is NiftiIO
+    assert determine_reader_writer_from_file_ending(".npy") is NumpyIO
+    assert find_reader_writer_by_name("SimpleITKIO") is NiftiIO  # nnU-Net alias
+    ds = {"file_ending": ".nii.gz"}
+    assert determine_reader_writer_from_dataset_json(ds) is NiftiIO
+    ds = {"file_ending": ".nii.gz", "overwrite_image_reader_writer": "NumpyIO"}
+    assert determine_reader_writer_from_dataset_json(ds) is NumpyIO
