@@ -1,0 +1,95 @@
+"""Shared NN layers: 3D conv with torch-style explicit padding, InstanceNorm
+with fp32 statistics, LeakyReLU.
+
+Layout is NDHWC (channels-last) — the TPU-native layout: the channel dimension
+maps onto vector lanes / the MXU contraction dimension, and XLA fuses the
+norm+activation elementwise tails into the convolutions.
+
+Padding note: torch convs pad k//2 symmetrically; XLA 'SAME' places uneven
+padding differently for strided convs. We always use explicit (k//2, k//2)
+padding so activations (and therefore ported torch checkpoints) match
+bit-for-bit. Reference semantics: BasicResBlock in
+/root/reference/nnunetv2/training/nnUNetTrainer/STUNetTrainer.py:444-467.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# He (Kaiming) normal init with leaky-relu gain, matching nnU-Net's
+# InitWeights_He(1e-2) (reference: utilities/network_initialization.py)
+def he_normal_leaky(negative_slope: float = 1e-2):
+    gain = 2.0 / (1.0 + negative_slope ** 2)
+    return nn.initializers.variance_scaling(gain, "fan_in", "normal")
+
+
+class ConvND(nn.Module):
+    """Convolution with torch-style symmetric k//2 padding ('torch_same'),
+    or explicit padding. kernel_size/strides are per-spatial-dim sequences."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = None
+    padding: str | Sequence[Tuple[int, int]] = "torch_same"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = he_normal_leaky()
+
+    @nn.compact
+    def __call__(self, x):
+        ks = tuple(self.kernel_size)
+        strides = tuple(self.strides) if self.strides is not None else (1,) * len(ks)
+        if self.padding == "torch_same":
+            padding = tuple((k // 2, k // 2) for k in ks)
+        else:
+            padding = self.padding
+        return nn.Conv(
+            features=self.features,
+            kernel_size=ks,
+            strides=strides,
+            padding=padding,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            kernel_init=self.kernel_init,
+            name="conv",
+        )(x)
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims (torch
+    InstanceNorm3d(affine=True), eps 1e-5). Statistics in fp32 regardless of
+    compute dtype."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        axes = tuple(range(1, x.ndim - 1))
+        mean = xf.mean(axes, keepdims=True)
+        var = xf.var(axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(self.dtype if self.dtype is not None else orig_dtype)
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return nn.leaky_relu(x, negative_slope=negative_slope)
+
+
+def upsample_nearest(x, scale: Sequence[int]):
+    """Integer-factor nearest upsampling == torch interpolate(mode='nearest')
+    == repeat_interleave per spatial axis. x: (B, *spatial, C)."""
+    for ax, s in enumerate(scale):
+        if s != 1:
+            x = jnp.repeat(x, s, axis=ax + 1)
+    return x
