@@ -1,0 +1,299 @@
+"""Predictor: load trained model(s), preprocess raw images on the fly, run
+Gaussian sliding-window inference with mirror TTA + fold ensembling, export.
+
+Capability parity: /root/reference/nnunetv2/inference/predict_from_raw_data.py:38-846
+(nnUNetPredictor): initialize_from_trained_model_folder (multi-fold param list,
+deep supervision off), manual_initialization, predict_from_files with
+part_id/num_parts sharding + overwrite skip (:264-302), on-the-fly
+preprocessing -> predict -> export pipeline (:445), fold-ensemble logit
+averaging (:562), sliding-window prediction (:683), mirror TTA (:656).
+
+TPU redesign notes: one jitted fixed-shape tile function per (network, TTA)
+combo; TTA flips batched into a single forward; export runs in background
+threads (host-side numpy) while the device works on the next case.
+"""
+from __future__ import annotations
+
+import json
+import multiprocessing
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anatomask_tpu.inference.export import export_prediction_from_logits
+from anatomask_tpu.inference.sliding_window import make_tile_predictor, sliding_window_predict
+from anatomask_tpu.models.build import build_network_from_plans
+from anatomask_tpu.plans.label_handling import determine_num_input_channels
+from anatomask_tpu.plans.plans_handler import PlansManager, load_json
+from anatomask_tpu.preprocessing.preprocessor import DefaultPreprocessor
+from anatomask_tpu.training.checkpoint import load_checkpoint
+
+
+class Predictor:
+    def __init__(
+        self,
+        tile_step_size: float = 0.5,
+        use_gaussian: bool = True,
+        use_mirroring: bool = True,
+        tile_batch_size: int = 2,
+        verbose: bool = False,
+        allow_tqdm: bool = False,
+        dtype=jnp.float32,
+    ):
+        self.tile_step_size = tile_step_size
+        self.use_gaussian = use_gaussian
+        self.use_mirroring = use_mirroring
+        self.tile_batch_size = tile_batch_size
+        self.verbose = verbose
+        self.dtype = dtype
+
+        self.plans_manager: Optional[PlansManager] = None
+        self.configuration_manager = None
+        self.dataset_json: Optional[dict] = None
+        self.network = None
+        self.list_of_parameters: List[dict] = []
+        self.allowed_mirroring_axes: Optional[Sequence[int]] = None
+        self.label_manager = None
+        self._tile_fn = None
+
+    # --- initialization -------------------------------------------------------
+    def initialize_from_trained_model_folder(
+        self,
+        model_training_output_dir: str,
+        use_folds: Union[Sequence[Union[int, str]], None] = None,
+        checkpoint_name: str = "checkpoint_final.npz",
+    ):
+        if use_folds is None:
+            use_folds = self.auto_detect_available_folds(model_training_output_dir, checkpoint_name)
+        dataset_json = load_json(os.path.join(model_training_output_dir, "dataset.json"))
+        plans_manager = PlansManager(os.path.join(model_training_output_dir, "plans.json"))
+
+        parameters = []
+        configuration_name = None
+        mirror_axes = None
+        arch_name = None
+        for f in use_folds:
+            fdir = os.path.join(model_training_output_dir, f"fold_{f}" if f != "all" else "fold_all")
+            arrays, meta = load_checkpoint(os.path.join(fdir, checkpoint_name))
+            parameters.append(arrays["network_weights"])
+            configuration_name = meta.get("configuration_name", configuration_name)
+            mirror_axes = meta.get("inference_allowed_mirroring_axes", mirror_axes)
+            arch_name = meta.get("network_arch_name", arch_name)
+
+        configuration_manager = plans_manager.get_configuration(configuration_name or "3d_fullres")
+        num_input_channels = determine_num_input_channels(plans_manager, configuration_manager, dataset_json)
+        label_manager = plans_manager.get_label_manager(dataset_json)
+        network = build_network_from_plans(
+            plans_manager, configuration_manager, num_input_channels,
+            label_manager.num_segmentation_heads, arch_name=arch_name,
+            deep_supervision=False, dtype=self.dtype,
+        )
+        self.manual_initialization(
+            network, plans_manager, configuration_manager, parameters,
+            dataset_json, mirror_axes,
+        )
+
+    @staticmethod
+    def auto_detect_available_folds(model_training_output_dir: str, checkpoint_name: str) -> List[int]:
+        folds = []
+        for d in sorted(os.listdir(model_training_output_dir)):
+            if d.startswith("fold_") and d != "fold_all" and os.path.isfile(
+                os.path.join(model_training_output_dir, d, checkpoint_name)
+            ):
+                folds.append(int(d.split("_")[-1]))
+        if not folds:
+            raise RuntimeError(f"no fold checkpoints found in {model_training_output_dir}")
+        return folds
+
+    def manual_initialization(
+        self, network, plans_manager, configuration_manager, parameters,
+        dataset_json, inference_allowed_mirroring_axes,
+    ):
+        """Used directly by the trainer's in-training validation."""
+        self.network = network
+        self.plans_manager = plans_manager
+        self.configuration_manager = configuration_manager
+        self.list_of_parameters = parameters
+        self.dataset_json = dataset_json
+        self.allowed_mirroring_axes = inference_allowed_mirroring_axes
+        self.label_manager = plans_manager.get_label_manager(dataset_json)
+        mirror_axes = self.allowed_mirroring_axes if self.use_mirroring else None
+
+        def apply_fn(params, x):
+            out = self.network.apply({"params": params}, x)
+            if isinstance(out, (tuple, list)):
+                out = out[0]
+            return out.astype(jnp.float32)
+
+        self._apply_fn = apply_fn
+        self._tile_fns = {}
+        self._mirror_axes = tuple(mirror_axes) if mirror_axes is not None else None
+
+    def _tile_fn_for(self, params):
+        key = id(params)
+        if key not in self._tile_fns:
+            fn = make_tile_predictor(lambda x: self._apply_fn(params, x), self._mirror_axes)
+            self._tile_fns[key] = fn
+        return self._tile_fns[key]
+
+    # --- prediction -----------------------------------------------------------
+    def predict_sliding_window_return_logits(self, data: np.ndarray) -> np.ndarray:
+        """data: (c, x, y, z) preprocessed. Fold-ensemble averaged logits."""
+        num_out = self.label_manager.num_segmentation_heads
+        tile_size = self.configuration_manager.patch_size
+        logits = None
+        for params in self.list_of_parameters:
+            pred = sliding_window_predict(
+                data, self._tile_fn_for(params), tile_size, num_out,
+                tile_step_size=self.tile_step_size, use_gaussian=self.use_gaussian,
+                tile_batch_size=self.tile_batch_size, verbose=self.verbose,
+            )
+            logits = pred if logits is None else logits + pred
+        return logits / len(self.list_of_parameters)
+
+    predict_logits_from_preprocessed_data = predict_sliding_window_return_logits
+
+    def predict_single_npy_array(
+        self, input_image: np.ndarray, image_properties: dict,
+        segmentation_previous_stage: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """(c, x, y, z) raw image + properties -> segmentation on original grid."""
+        pp = self.configuration_manager.preprocessor_class(verbose=self.verbose)
+        props = dict(image_properties)
+        data, seg = pp.run_case_npy(
+            input_image.astype(np.float32), None, props,
+            self.plans_manager, self.configuration_manager, self.dataset_json,
+        )
+        if segmentation_previous_stage is not None:
+            data = self._stack_previous_stage(data, segmentation_previous_stage)
+        logits = self.predict_sliding_window_return_logits(data)
+        from anatomask_tpu.inference.export import (
+            convert_predicted_logits_to_segmentation_with_correct_shape,
+        )
+        return convert_predicted_logits_to_segmentation_with_correct_shape(
+            logits, self.plans_manager, self.configuration_manager,
+            self.label_manager, props,
+        )
+
+    def _stack_previous_stage(self, data: np.ndarray, prev_seg: np.ndarray) -> np.ndarray:
+        from anatomask_tpu.plans.label_handling import convert_labelmap_to_one_hot
+        onehot = convert_labelmap_to_one_hot(
+            prev_seg, self.label_manager.foreground_labels, output_dtype=data.dtype
+        )
+        return np.vstack([data, onehot])
+
+    # --- file-level driver ----------------------------------------------------
+    def _manage_input_and_output_lists(
+        self, list_of_lists_or_source_folder, output_folder_or_list,
+        folder_with_segs_from_prev_stage=None, overwrite: bool = True,
+        part_id: int = 0, num_parts: int = 1, save_probabilities: bool = False,
+    ):
+        ending = self.dataset_json["file_ending"]
+        if isinstance(list_of_lists_or_source_folder, str):
+            from anatomask_tpu.utils.helpers import get_case_identifiers_from_raw
+            src = list_of_lists_or_source_folder
+            idents = sorted({
+                f[: -len(ending)].rsplit("_", 1)[0]
+                for f in os.listdir(src) if f.endswith(ending)
+            })
+            n_channels = len(self.dataset_json.get("channel_names", self.dataset_json.get("modality")))
+            list_of_lists = [
+                [os.path.join(src, f"{i}_{c:04d}{ending}") for c in range(n_channels)]
+                for i in idents
+            ]
+        else:
+            list_of_lists = list(list_of_lists_or_source_folder)
+            idents = [os.path.basename(l[0])[: -len(ending)].rsplit("_", 1)[0] for l in list_of_lists]
+
+        if isinstance(output_folder_or_list, str):
+            out_files = [os.path.join(output_folder_or_list, i) for i in idents]
+        elif output_folder_or_list is None:
+            out_files = [None] * len(idents)
+        else:
+            out_files = list(output_folder_or_list)
+
+        prev_stage_files = [
+            os.path.join(folder_with_segs_from_prev_stage, i + ending)
+            if folder_with_segs_from_prev_stage else None
+            for i in idents
+        ]
+
+        # part sharding
+        list_of_lists = list_of_lists[part_id::num_parts]
+        out_files = out_files[part_id::num_parts]
+        prev_stage_files = prev_stage_files[part_id::num_parts]
+
+        if not overwrite:
+            keep = []
+            for i, of in enumerate(out_files):
+                if of is None or not os.path.isfile(of + ending):
+                    keep.append(i)
+                elif save_probabilities and not os.path.isfile(of + ".npz"):
+                    keep.append(i)
+            list_of_lists = [list_of_lists[i] for i in keep]
+            out_files = [out_files[i] for i in keep]
+            prev_stage_files = [prev_stage_files[i] for i in keep]
+        return list_of_lists, out_files, prev_stage_files
+
+    def predict_from_files(
+        self,
+        list_of_lists_or_source_folder,
+        output_folder_or_list,
+        save_probabilities: bool = False,
+        overwrite: bool = True,
+        num_processes_preprocessing: int = 3,
+        num_processes_segmentation_export: int = 3,
+        folder_with_segs_from_prev_stage: Optional[str] = None,
+        num_parts: int = 1,
+        part_id: int = 0,
+    ):
+        if isinstance(output_folder_or_list, str):
+            os.makedirs(output_folder_or_list, exist_ok=True)
+            with open(os.path.join(output_folder_or_list, "predict_from_raw_data_args.json"), "w") as f:
+                json.dump({
+                    "tile_step_size": self.tile_step_size,
+                    "use_gaussian": self.use_gaussian,
+                    "use_mirroring": self.use_mirroring,
+                    "num_parts": num_parts, "part_id": part_id,
+                }, f, indent=2)
+
+        lists, out_files, prev_files = self._manage_input_and_output_lists(
+            list_of_lists_or_source_folder, output_folder_or_list,
+            folder_with_segs_from_prev_stage, overwrite, part_id, num_parts,
+            save_probabilities,
+        )
+        if not lists:
+            return []
+
+        rw = self.plans_manager.image_reader_writer_class()
+        pp = self.configuration_manager.preprocessor_class(verbose=self.verbose)
+        results = []
+        # export runs off-thread so the device can start the next case
+        with ThreadPoolExecutor(max_workers=max(1, num_processes_segmentation_export)) as export_pool:
+            futures = []
+            for image_files, out_file, prev_file in zip(lists, out_files, prev_files):
+                data, props = rw.read_images(image_files)
+                seg_prev = rw.read_seg(prev_file)[0][0] if prev_file else None
+                data_pp, _ = pp.run_case_npy(
+                    data, None, props, self.plans_manager, self.configuration_manager,
+                    self.dataset_json,
+                )
+                if seg_prev is not None:
+                    data_pp = self._stack_previous_stage(data_pp, seg_prev)
+                logits = self.predict_sliding_window_return_logits(data_pp)
+                if out_file is not None:
+                    futures.append(export_pool.submit(
+                        export_prediction_from_logits, logits, props,
+                        self.configuration_manager, self.plans_manager,
+                        self.dataset_json, out_file, save_probabilities,
+                    ))
+                    results.append(out_file)
+                else:
+                    results.append(logits)
+            for fu in futures:
+                fu.result()
+        return results

@@ -1,0 +1,160 @@
+"""Gaussian-weighted sliding-window prediction, TPU-first.
+
+Capability parity: /root/reference/nnunetv2/inference/predict_from_raw_data.py:683-754
+(pad to patch, even step placement covering volume ends, Gaussian-weighted
+accumulation, mirror TTA over all flip combinations, normalize by weight sum,
+un-pad) and sliding_window_prediction.py:32-57 (step math).
+
+TPU-native redesign:
+- ONE jitted tile function with a static tile shape, reused for every tile and
+  every case (compile once).
+- Mirror TTA is a single batched forward: the 2^|axes| flips are stacked on the
+  batch axis instead of run sequentially (same math, fills the MXU).
+- Tiles are processed in batches (`tile_batch_size`) for utilization.
+- Accumulation happens on host in float32 (matches the reference's CPU-fallback
+  semantics and supports arbitrarily large volumes); the device only ever sees
+  fixed-shape tiles, so there is no recompile across cases.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anatomask_tpu.inference.gaussian import compute_gaussian
+
+
+def compute_steps_for_sliding_window(
+    image_size: Sequence[int], tile_size: Sequence[int], tile_step_size: float
+) -> List[List[int]]:
+    """Evenly spaced tile origins covering [0, image-tile] inclusive; step at
+    most tile*step_size (reference semantics)."""
+    assert all(i >= j for i, j in zip(image_size, tile_size)), (
+        "image size must be >= tile size (pad first)"
+    )
+    assert 0 < tile_step_size <= 1
+    target = [i * tile_step_size for i in tile_size]
+    num_steps = [
+        int(np.ceil((i - k) / j)) + 1 for i, j, k in zip(image_size, target, tile_size)
+    ]
+    steps = []
+    for dim in range(len(tile_size)):
+        max_start = image_size[dim] - tile_size[dim]
+        if num_steps[dim] > 1:
+            actual = max_start / (num_steps[dim] - 1)
+        else:
+            actual = 1e9
+        steps.append([int(np.round(actual * i)) for i in range(num_steps[dim])])
+    return steps
+
+
+def pad_nd_image(
+    data: np.ndarray, new_shape: Sequence[int], mode: str = "constant", value: float = 0.0
+) -> Tuple[np.ndarray, Tuple[slice, ...]]:
+    """Symmetrically pad trailing dims of `data` to at least `new_shape`.
+    Returns (padded, slicer-to-undo)."""
+    old_shape = data.shape
+    n_lead = len(old_shape) - len(new_shape)
+    target = list(old_shape[:n_lead]) + [
+        max(o, n) for o, n in zip(old_shape[n_lead:], new_shape)
+    ]
+    pads = []
+    for o, t in zip(old_shape, target):
+        diff = t - o
+        pads.append((diff // 2, diff - diff // 2))
+    kwargs = {"constant_values": value} if mode == "constant" else {}
+    padded = np.pad(data, pads, mode=mode, **kwargs)
+    slicer = tuple(slice(lo, lo + o) for (lo, _), o in zip(pads, old_shape))
+    return padded, slicer
+
+
+def make_tile_predictor(
+    apply_fn: Callable,
+    mirror_axes: Optional[Sequence[int]] = None,
+) -> Callable:
+    """Wrap a network apply (B, x, y, z, C_in) -> (B, x, y, z, C_out) into a
+    mirror-TTA tile function. The flips are folded into the batch so the whole
+    TTA is one forward pass. mirror_axes are spatial axis indices (0..2)."""
+    flip_combos: List[Tuple[int, ...]] = [()]
+    if mirror_axes:
+        flip_combos = []
+        for r in range(len(mirror_axes) + 1):
+            for combo in itertools.combinations(mirror_axes, r):
+                flip_combos.append(tuple(a + 1 for a in combo))  # +1: skip batch dim
+
+    def tile_fn(x):
+        if len(flip_combos) == 1:
+            return apply_fn(x)
+        b = x.shape[0]
+        stacked = jnp.concatenate([
+            jnp.flip(x, axes) if axes else x for axes in flip_combos
+        ], axis=0)
+        out = apply_fn(stacked)
+        parts = [
+            jnp.flip(out[i * b:(i + 1) * b], axes) if axes else out[i * b:(i + 1) * b]
+            for i, axes in enumerate(flip_combos)
+        ]
+        return sum(parts) / len(parts)
+
+    return tile_fn
+
+
+def sliding_window_predict(
+    data: np.ndarray,
+    tile_fn: Callable,
+    tile_size: Sequence[int],
+    num_output_channels: int,
+    tile_step_size: float = 0.5,
+    use_gaussian: bool = True,
+    tile_batch_size: int = 4,
+    verbose: bool = False,
+) -> np.ndarray:
+    """data: (c, x, y, z) float32 -> logits (num_output_channels, x, y, z) float32.
+
+    `tile_fn`: jittable (B, tx, ty, tz, c) -> (B, tx, ty, tz, K) (already
+    TTA-wrapped if desired; if the network returns a deep-supervision tuple the
+    caller must reduce it to the full-res head first).
+    """
+    assert data.ndim == 4
+    tile_size = tuple(int(t) for t in tile_size)
+    data_padded, slicer_to_undo = pad_nd_image(data, tile_size)
+    spatial = data_padded.shape[1:]
+
+    steps = compute_steps_for_sliding_window(spatial, tile_size, tile_step_size)
+    origins = list(itertools.product(*steps))
+    if verbose:
+        print(f"sliding window: {len(origins)} tiles over {spatial}")
+
+    gaussian = (
+        compute_gaussian(tile_size, value_scaling_factor=1000.0)
+        if use_gaussian
+        else np.ones(tile_size, dtype=np.float32)
+    )
+
+    logits = np.zeros((num_output_channels, *spatial), dtype=np.float32)
+    weights = np.zeros(spatial, dtype=np.float32)
+
+    jitted = jax.jit(tile_fn)
+    # batch tiles for MXU utilization; pad the final partial batch
+    for start in range(0, len(origins), tile_batch_size):
+        batch_origins = origins[start:start + tile_batch_size]
+        n_valid = len(batch_origins)
+        while len(batch_origins) < tile_batch_size:
+            batch_origins.append(batch_origins[-1])
+        tiles = np.stack([
+            data_padded[(slice(None), *[slice(o, o + t) for o, t in zip(orig, tile_size)])]
+            for orig in batch_origins
+        ])  # (B, c, tx, ty, tz)
+        tiles = np.moveaxis(tiles, 1, -1)  # NDHWC
+        preds = np.asarray(jitted(jnp.asarray(tiles)), dtype=np.float32)  # (B,tx,ty,tz,K)
+        for i in range(n_valid):
+            orig = batch_origins[i]
+            sl = tuple(slice(o, o + t) for o, t in zip(orig, tile_size))
+            logits[(slice(None), *sl)] += np.moveaxis(preds[i], -1, 0) * gaussian
+            weights[sl] += gaussian
+
+    logits /= weights
+    return logits[(slice(None), *slicer_to_undo[1:])]

@@ -1,0 +1,196 @@
+"""Checkpoint save/load + weight-transfer contracts.
+
+Capability parity:
+- trainer checkpoint schema (network_weights / optimizer_state / current_epoch /
+  logging / _best_ema / init_args / trainer_name / inference_allowed_mirroring_axes):
+  /root/reference/nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py:1041-1108.
+- weight transfer library /root/reference/nnunetv2/run/load_pretrained_weights.py:
+  * load_pretrained_weights (:6): name+shape-matched merge skipping seg heads
+  * load_stunet_ssl_weights (:66): the AnatoMask->STUNet path — encoder keys
+    rewritten by stripping the SparK 'sparse_encoder.sp_cnn.' prefix and loaded
+    non-strictly into the encoder blocks.
+- torch .pth interop so checkpoints trained with the reference load into the
+  flax models for parity testing (kernel layout (O,I,kd,kh,kw)->(kd,kh,kw,I,O)).
+
+Format: a single .npz holding the flattened pytree ('a/b/c' keys) plus a JSON
+metadata entry — portable, no pickle, memory-mappable.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+SEP = "/"
+
+
+def flatten_tree(tree, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(flatten_tree(v, f"{prefix}{k}{SEP}"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(flatten_tree(v, f"{prefix}#{i}{SEP}"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def unflatten_tree(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, val in flat.items():
+        parts = key.split(SEP)
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+
+    def fix_lists(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.startswith("#") for k in node):
+            return [fix_lists(node[f"#{i}"]) for i in range(len(node))]
+        return {k: fix_lists(v) for k, v in node.items()}
+
+    return fix_lists(root)
+
+
+def save_checkpoint(path: str, arrays: dict, metadata: Optional[dict] = None):
+    """arrays: pytree(s) of ndarrays (e.g. {'network_weights': params, ...});
+    metadata: JSON-serializable dict."""
+    flat = flatten_tree(jax.tree_util.tree_map(np.asarray, arrays))
+    meta = json.dumps(metadata or {})
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, __metadata__=np.frombuffer(meta.encode(), dtype=np.uint8), **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str) -> Tuple[dict, dict]:
+    """Returns (arrays pytree, metadata dict)."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files if k != "__metadata__"}
+        meta = json.loads(bytes(z["__metadata__"]).decode()) if "__metadata__" in z.files else {}
+    return unflatten_tree(flat), meta
+
+
+# --- reference-compatible weight transfer ------------------------------------
+
+def _is_seg_head(path: str) -> bool:
+    return "seg_outputs" in path or "seg_output" in path or ".seg_layers." in path
+
+
+def load_pretrained_weights(params: dict, pretrained_params: dict, verbose: bool = False) -> dict:
+    """Name+shape-matched merge of pretrained weights into `params`, skipping
+    segmentation heads (reference load_pretrained_weights semantics: shape
+    mismatch on a shared key is an error, missing keys are fine)."""
+    flat = flatten_tree(params)
+    flat_pre = flatten_tree(pretrained_params)
+    loaded, skipped = [], []
+    for k, v in flat_pre.items():
+        if _is_seg_head(k):
+            skipped.append(k)
+            continue
+        if k in flat:
+            assert flat[k].shape == v.shape, (
+                f"Shape mismatch for {k}: model {flat[k].shape} vs pretrained {v.shape}. "
+                f"Pretrained weights must match the architecture."
+            )
+            flat[k] = np.asarray(v)
+            loaded.append(k)
+    if verbose:
+        print(f"loaded {len(loaded)} tensors, skipped seg heads: {skipped}")
+    return unflatten_tree(flat)
+
+
+def transfer_ssl_encoder_weights(stunet_params: dict, ssl_encoder_params: dict,
+                                 verbose: bool = False) -> dict:
+    """The AnatoMask->STUNet finetuning path (reference load_stunet_ssl_weights):
+    copy every encoder block tensor (conv_blocks_context_*) from the pretrained
+    sparse encoder into the segmentation model, leave everything else (decoder,
+    seg heads) at its initialization. Non-strict: tensors present in only one
+    side are ignored."""
+    flat = flatten_tree(stunet_params)
+    flat_ssl = flatten_tree(ssl_encoder_params)
+    worked, not_worked = [], []
+    for k, v in flat_ssl.items():
+        if "conv_blocks_context" not in k:
+            continue
+        if k in flat and flat[k].shape == v.shape:
+            flat[k] = np.asarray(v)
+            worked.append(k)
+        else:
+            not_worked.append(k)
+    if verbose:
+        print(f"ssl transfer: {len(worked)} loaded, {len(not_worked)} unmatched: {not_worked[:10]}")
+    return unflatten_tree(flat)
+
+
+# --- torch interop -----------------------------------------------------------
+
+def convert_torch_stunet_state_dict(state_dict: dict) -> dict:
+    """Convert a reference torch STUNet (or SparK sparse-encoder) state_dict into
+    the flax param tree of anatomask_tpu.models.stunet.STUNet(Encoder).
+
+    Handles DDP 'module.' prefixes and the SparK 'sparse_encoder.sp_cnn.'
+    nesting (reference load_stunet_ssl_weights rewrites keys via
+    split('sp_cnn.')[-1]; we do the same).
+    """
+    tree: dict = {}
+
+    def put(path, arr):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+
+    for key, val in state_dict.items():
+        arr = np.asarray(getattr(val, "numpy", lambda: val)())
+        k = key
+        if "sp_cnn." in k:
+            k = k.split("sp_cnn.")[-1]
+        while k.startswith("module."):
+            k = k[len("module."):]
+        parts = k.split(".")
+        if parts[0] in ("conv_blocks_context", "conv_blocks_localization"):
+            # conv_blocks_context.{stage}.{block}.{layer}.{param}
+            stage, block, layer, pname = parts[1], parts[2], parts[3], parts[4]
+            base = [f"{parts[0]}_{stage}", f"block{block}"]
+            if layer.startswith("conv"):
+                if pname == "weight":
+                    put(base + [layer, "conv", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+                else:
+                    put(base + [layer, "conv", "bias"], arr)
+            elif layer.startswith("norm"):
+                put(base + [layer, "scale" if pname == "weight" else "bias"], arr)
+        elif parts[0] == "upsample_layers":
+            u, layer, pname = parts[1], parts[2], parts[3]
+            if pname == "weight":
+                put([f"upsample_layers_{u}", layer, "conv", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+            else:
+                put([f"upsample_layers_{u}", layer, "conv", "bias"], arr)
+        elif parts[0] == "seg_outputs":
+            u, pname = parts[1], parts[2]
+            if pname == "weight":
+                put([f"seg_outputs_{u}", "conv", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+            else:
+                put([f"seg_outputs_{u}", "conv", "bias"], arr)
+        # anything else (decoder densify layers, mask tokens, ...) is ignored here;
+        # SSL-specific tensors are handled by the SSL checkpoint adapter.
+    return tree
+
+
+def load_torch_checkpoint_file(path: str) -> dict:
+    """Load a torch .pth/.pt checkpoint (CPU) and return its network weights dict."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(ckpt, dict):
+        for key in ("network_weights", "state_dict", "model"):
+            if key in ckpt:
+                return ckpt[key]
+    return ckpt

@@ -1,0 +1,96 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from anatomask_tpu.inference.gaussian import compute_gaussian
+from anatomask_tpu.inference.sliding_window import (
+    compute_steps_for_sliding_window,
+    make_tile_predictor,
+    pad_nd_image,
+    sliding_window_predict,
+)
+
+
+def test_gaussian_properties():
+    g = compute_gaussian((8, 8, 8), value_scaling_factor=1000.0)
+    assert g.shape == (8, 8, 8)
+    assert g.max() == pytest.approx(1000.0)
+    assert g.min() > 0  # zeros replaced
+    assert g[4, 4, 4] == g.max()  # peak at center
+    # symmetric around center
+    np.testing.assert_allclose(g[3], g[5], rtol=1e-5)
+
+
+def test_steps_reference_example():
+    # reference docstring example: size 110, tile 64, step 0.5 -> [0, 23, 46]
+    steps = compute_steps_for_sliding_window((110,), (64,), 0.5)
+    assert steps == [[0, 23, 46]]
+
+
+def test_steps_cover_ends():
+    steps = compute_steps_for_sliding_window((100, 64, 57), (32, 32, 32), 0.5)
+    for dim, (img, tile) in enumerate(zip((100, 64, 57), (32, 32, 32))):
+        assert steps[dim][0] == 0
+        assert steps[dim][-1] == img - tile
+
+
+def test_steps_exact_fit():
+    steps = compute_steps_for_sliding_window((32, 32, 32), (32, 32, 32), 0.5)
+    assert steps == [[0], [0], [0]]
+
+
+def test_pad_nd_image():
+    x = np.arange(2 * 5 * 6 * 7).reshape(2, 5, 6, 7).astype(np.float32)
+    padded, slicer = pad_nd_image(x, (8, 6, 10))
+    assert padded.shape == (2, 8, 6, 10)
+    np.testing.assert_array_equal(padded[slicer], x)
+    # symmetric padding: 3 total on axis1 -> 1 low / 2 high
+    assert slicer[1] == slice(1, 6)
+
+
+def test_mirror_tta_equals_sequential(rng):
+    """Batched-flip TTA must equal the mean over explicit flipped forwards."""
+    x = jnp.asarray(rng.rand(2, 4, 6, 8, 3).astype(np.float32))
+
+    def net(v):  # nonlinear, asymmetric "network"
+        return v[..., :2] ** 2 + jnp.cumsum(v[..., :2], axis=1)
+
+    tile_fn = make_tile_predictor(net, mirror_axes=(0, 1, 2))
+    out = tile_fn(x)
+
+    import itertools
+    preds = []
+    for r in range(4):
+        for combo in itertools.combinations((1, 2, 3), r):
+            preds.append(jnp.flip(net(jnp.flip(x, combo)), combo) if combo else net(x))
+    expected = sum(preds) / len(preds)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=1e-5)
+
+
+def test_sliding_window_identity_reconstruction(rng):
+    """A tile function that echoes its input must reconstruct the volume exactly
+    (Gaussian-weighted average of identical overlapping values)."""
+    data = rng.rand(1, 20, 24, 18).astype(np.float32)
+
+    def tile_fn(x):  # (B,tx,ty,tz,1) -> 2 channels: echo and 2*echo
+        return jnp.concatenate([x, 2 * x], axis=-1)
+
+    out = sliding_window_predict(
+        data, tile_fn, (16, 16, 16), num_output_channels=2,
+        tile_step_size=0.5, use_gaussian=True, tile_batch_size=3,
+    )
+    assert out.shape == (2, 20, 24, 18)
+    np.testing.assert_allclose(out[0], data[0], atol=1e-3)
+    np.testing.assert_allclose(out[1], 2 * data[0], atol=5e-3)
+
+
+def test_sliding_window_small_volume_padding(rng):
+    """Volume smaller than the tile: pad, predict, un-pad."""
+    data = rng.rand(2, 10, 12, 9).astype(np.float32)
+
+    def tile_fn(x):
+        return x[..., :1] * 0 + 1.0
+
+    out = sliding_window_predict(data, tile_fn, (16, 16, 16), 1)
+    assert out.shape == (1, 10, 12, 9)
+    np.testing.assert_allclose(out, 1.0)
