@@ -1,0 +1,411 @@
+"""Fused on-device augmentation pipeline.
+
+Capability parity: the reference's batchgenerators transform stack built in
+/root/reference/nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py:661-750:
+SpatialTransform (per-axis rotation, scaling 0.7-1.4, p=0.2 each) ->
+GaussianNoise(p=.1) -> GaussianBlur(sigma .5-1, p=.2, p_per_channel=.5) ->
+BrightnessMultiplicative(.75-1.25, p=.15) -> Contrast(p=.15, preserve range) ->
+SimulateLowRes(zoom .5-1, p=.25, p_per_channel=.5) -> Gamma(invert, p=.1) ->
+Gamma(p=.3) -> Mirror(all axes) -> MaskTransform (zero outside nonzero mask) ->
+RemoveLabel(-1 -> 0) -> DownsampleSegForDSTransform2 (deep-supervision target
+pyramid); dummy-2D mode (transforms_for_dummy_2d.py) restricts the spatial ops
+to in-plane. Rotation/scale-aware enlarged crop size: compute_initial_patch_size.py.
+
+TPU-native redesign: the whole stack is ONE jitted function over the batch
+(B, ix, iy, iz, C). The reference burns 12+ CPU worker processes on this
+(documentation/benchmarking.md:90-96); here the host only gathers mmap'd
+patches and the device does everything, fused by XLA. Every transform computes
+unconditionally and is selected per-sample with `where` — static shapes, no
+divergent control flow. The affine resample consumes the enlarged patch and
+emits the final patch directly (crop folded into the warp, one interpolation).
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# --- configuration ------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SpatialAugmentConfig:
+    patch_size: Tuple[int, ...]                 # final (network) patch
+    rotation_x: Tuple[float, float] = (-np.pi / 6, np.pi / 6)
+    rotation_y: Tuple[float, float] = (-np.pi / 6, np.pi / 6)
+    rotation_z: Tuple[float, float] = (-np.pi / 6, np.pi / 6)
+    p_rotation: float = 0.2
+    scale_range: Tuple[float, float] = (0.7, 1.4)
+    p_scaling: float = 0.2
+    dummy_2d: bool = False                      # rotate in-plane only, keep axis 0
+
+
+@dataclass(frozen=True)
+class IntensityAugmentConfig:
+    p_noise: float = 0.1
+    noise_variance: Tuple[float, float] = (0.0, 0.1)
+    p_blur: float = 0.2
+    p_blur_per_channel: float = 0.5
+    blur_sigma: Tuple[float, float] = (0.5, 1.0)
+    p_brightness: float = 0.15
+    brightness_range: Tuple[float, float] = (0.75, 1.25)
+    p_contrast: float = 0.15
+    contrast_range: Tuple[float, float] = (0.75, 1.25)
+    p_lowres: float = 0.25
+    p_lowres_per_channel: float = 0.5
+    lowres_zoom: Tuple[float, float] = (0.5, 1.0)
+    lowres_ignore_axis0: bool = False           # dummy-2D: don't degrade axis 0
+    p_gamma_invert: float = 0.1
+    p_gamma: float = 0.3
+    gamma_range: Tuple[float, float] = (0.7, 1.5)
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    spatial: SpatialAugmentConfig
+    intensity: IntensityAugmentConfig = field(default_factory=IntensityAugmentConfig)
+    mirror_axes: Tuple[int, ...] = (0, 1, 2)
+    mask_channels_for_norm: Tuple[int, ...] = ()   # channels zeroed outside nonzero mask
+    ds_scales: Tuple[Tuple[int, ...], ...] = ()    # per-DS-level integer downsample factors
+    regions: Optional[Tuple] = None                # region tuples for region-based targets
+    ignore_label: Optional[int] = None
+
+
+def rotation_ranges_and_initial_patch_size(
+    patch_size: Sequence[int],
+) -> Tuple[dict, bool, np.ndarray, Tuple[int, ...]]:
+    """The reference's configure_rotation_dummyDA_mirroring_and_inital_patch_size
+    (nnUNetTrainer.py:367-423): anisotropic patches use in-plane-only (dummy-2D)
+    rotation; the sampled patch is enlarged so rotation+scaling never read
+    outside it."""
+    patch_size = list(patch_size)
+    dim = len(patch_size)
+    if dim == 2:
+        do_dummy_2d = False
+        if max(patch_size) / min(patch_size) > 1.5:
+            rot = {"x": (-np.pi / 12, np.pi / 12), "y": (0.0, 0.0), "z": (0.0, 0.0)}
+        else:
+            rot = {"x": (-np.pi, np.pi), "y": (0.0, 0.0), "z": (0.0, 0.0)}
+        mirror_axes = (0, 1)
+    elif dim == 3:
+        do_dummy_2d = (max(patch_size) / patch_size[0]) > 3
+        if do_dummy_2d:
+            rot = {"x": (-np.pi, np.pi), "y": (0.0, 0.0), "z": (0.0, 0.0)}
+        else:
+            rot = {"x": (-np.pi / 6, np.pi / 6), "y": (-np.pi / 6, np.pi / 6),
+                   "z": (-np.pi / 6, np.pi / 6)}
+        mirror_axes = (0, 1, 2)
+    else:
+        raise RuntimeError(f"unsupported dim {dim}")
+    initial = compute_initial_patch_size(patch_size[-dim:], rot["x"], rot["y"], rot["z"], (0.85, 1.25))
+    if do_dummy_2d:
+        initial[0] = patch_size[0]
+    return rot, do_dummy_2d, initial, mirror_axes
+
+
+def _rot3d(coords: np.ndarray, ax: float, ay: float, az: float) -> np.ndarray:
+    cx, sx = np.cos(ax), np.sin(ax)
+    cy, sy = np.cos(ay), np.sin(ay)
+    cz, sz = np.cos(az), np.sin(az)
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    return (Rx @ Ry @ Rz) @ coords
+
+
+def compute_initial_patch_size(final_patch_size, rot_x, rot_y, rot_z, scale_range) -> np.ndarray:
+    """Enlarge the sampled patch so worst-case rotation+zoom stays inside it."""
+    rx = min(np.pi / 2, max(np.abs(rot_x)) if isinstance(rot_x, (tuple, list)) else rot_x)
+    ry = min(np.pi / 2, max(np.abs(rot_y)) if isinstance(rot_y, (tuple, list)) else rot_y)
+    rz = min(np.pi / 2, max(np.abs(rot_z)) if isinstance(rot_z, (tuple, list)) else rot_z)
+    coords = np.array(final_patch_size, dtype=float)
+    final = coords.copy()
+    if len(coords) == 3:
+        final = np.maximum(np.abs(_rot3d(coords, rx, 0, 0)), final)
+        final = np.maximum(np.abs(_rot3d(coords, 0, ry, 0)), final)
+        final = np.maximum(np.abs(_rot3d(coords, 0, 0, rz)), final)
+    else:
+        c, s = np.cos(rx), np.sin(rx)
+        final = np.maximum(np.abs(np.array([[c, -s], [s, c]]) @ coords), final)
+    final /= min(scale_range)
+    return final.astype(int)
+
+
+# --- spatial warp -------------------------------------------------------------
+
+def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
+    """Per-sample 3x3 matrices mapping centered OUTPUT coords -> centered INPUT
+    coords (rotation + zoom; zoom > 1 shrinks content, matching the reference's
+    coordinate-scaling convention)."""
+    ks = jax.random.split(rng, 6)
+    ax = jax.random.uniform(ks[0], (batch,), minval=cfg.rotation_x[0], maxval=cfg.rotation_x[1])
+    ay = jax.random.uniform(ks[1], (batch,), minval=cfg.rotation_y[0], maxval=cfg.rotation_y[1])
+    az = jax.random.uniform(ks[2], (batch,), minval=cfg.rotation_z[0], maxval=cfg.rotation_z[1])
+    do_rot = jax.random.bernoulli(ks[3], cfg.p_rotation, (batch,))
+    ax, ay, az = (jnp.where(do_rot, a, 0.0) for a in (ax, ay, az))
+
+    sc = jax.random.uniform(ks[4], (batch,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
+    sc = jnp.where(jax.random.bernoulli(ks[5], cfg.p_scaling, (batch,)), sc, 1.0)
+
+    cx, sx = jnp.cos(ax), jnp.sin(ax)
+    cy, sy = jnp.cos(ay), jnp.sin(ay)
+    cz, sz = jnp.cos(az), jnp.sin(az)
+    zero = jnp.zeros_like(cx)
+    one = jnp.ones_like(cx)
+    Rx = jnp.stack([one, zero, zero, zero, cx, -sx, zero, sx, cx], -1).reshape(batch, 3, 3)
+    Ry = jnp.stack([cy, zero, sy, zero, one, zero, -sy, zero, cy], -1).reshape(batch, 3, 3)
+    Rz = jnp.stack([cz, -sz, zero, sz, cz, zero, zero, zero, one], -1).reshape(batch, 3, 3)
+    R = Rx @ Ry @ Rz
+    if cfg.dummy_2d:
+        # rotate in-plane (around axis 0) only; axis 0 passes through unscaled
+        S = jnp.stack([one, zero, zero, zero, sc, zero, zero, zero, sc], -1).reshape(batch, 3, 3)
+        # restrict rotation to axis-0 rotation: Rx already is in-plane for (y,z)
+        R = Rx
+    else:
+        S = sc[:, None, None] * jnp.broadcast_to(jnp.eye(3), (batch, 3, 3))
+    return R @ S
+
+
+def _trilinear_sample(vol, pos, cval):
+    """vol: (X, Y, Z); pos: (3, ox, oy, oz) absolute input coords."""
+    return jax.scipy.ndimage.map_coordinates(vol, [pos[0], pos[1], pos[2]],
+                                             order=1, mode="constant", cval=cval)
+
+
+def _nearest_sample(vol, pos, cval):
+    idx = [jnp.round(p) for p in pos]
+    return jax.scipy.ndimage.map_coordinates(vol, idx, order=0, mode="constant", cval=cval)
+
+
+def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
+    """data (B, ix, iy, iz, C) float, seg (B, ix, iy, iz, S) int.
+    Returns final-patch-size warped (data', seg'); crop is folded into the warp."""
+    batch = data.shape[0]
+    in_shape = data.shape[1:4]
+    out_shape = tuple(cfg.patch_size)
+    A = _affine_matrices(rng, batch, cfg)  # (B, 3, 3)
+
+    base = jnp.stack(jnp.meshgrid(
+        *[jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2 for s in out_shape],
+        indexing="ij",
+    ))  # (3, ox, oy, oz), centered
+    center_in = jnp.array([(s - 1) / 2 for s in in_shape], dtype=jnp.float32)
+
+    def warp_one(A_i, data_i, seg_i):
+        pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]
+        d = jax.vmap(lambda c: _trilinear_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
+            data_i.astype(jnp.float32))
+        s = jax.vmap(lambda c: _nearest_sample(c, pos, -1.0), in_axes=-1, out_axes=-1)(
+            seg_i.astype(jnp.float32))
+        return d, s
+
+    data_out, seg_out = jax.vmap(warp_one)(A, data, seg)
+    return data_out, seg_out.astype(jnp.int16)
+
+
+# --- intensity transforms -----------------------------------------------------
+
+def _per_sample_where(flag, new, old):
+    return jnp.where(flag.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+
+
+def _per_channel_where(flag, new, old):
+    # flag (B, C) -> broadcast over spatial
+    return jnp.where(flag[:, None, None, None, :], new, old)
+
+
+def gaussian_noise(x, rng, cfg: IntensityAugmentConfig):
+    k1, k2, k3 = jax.random.split(rng, 3)
+    var = jax.random.uniform(k1, (x.shape[0],), minval=cfg.noise_variance[0],
+                             maxval=cfg.noise_variance[1])
+    noise = jax.random.normal(k2, x.shape) * jnp.sqrt(var).reshape(-1, 1, 1, 1, 1)
+    return _per_sample_where(jax.random.bernoulli(k3, cfg.p_noise, (x.shape[0],)), x + noise, x)
+
+
+def _gaussian_kernel1d(sigma, radius: int = 4):
+    """(2*radius+1,) normalized Gaussian, sigma a traced scalar."""
+    t = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (t / jnp.maximum(sigma, 1e-3)) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur_volume(vol, sigma):
+    """Separable Gaussian blur of (X, Y, Z) with per-axis identical sigma."""
+    k = _gaussian_kernel1d(sigma)
+    r = k.shape[0] // 2
+    for ax in range(3):
+        moved = jnp.moveaxis(vol, ax, -1)
+        padded = jnp.pad(moved, [(0, 0), (0, 0), (r, r)], mode="reflect")
+        blurred = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, k, mode="valid")))(padded)
+        vol = jnp.moveaxis(blurred, -1, ax)
+    return vol
+
+
+def gaussian_blur(x, rng, cfg: IntensityAugmentConfig):
+    b, c = x.shape[0], x.shape[-1]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    sigmas = jax.random.uniform(k1, (b, c), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+    blurred = jax.vmap(jax.vmap(_blur_volume, in_axes=(-1, 0), out_axes=-1))(x, sigmas)
+    apply = (
+        jax.random.bernoulli(k2, cfg.p_blur, (b, 1))
+        & jax.random.bernoulli(k3, cfg.p_blur_per_channel, (b, c))
+    )
+    return _per_channel_where(apply, blurred, x)
+
+
+def brightness_multiplicative(x, rng, cfg: IntensityAugmentConfig):
+    b, c = x.shape[0], x.shape[-1]
+    k1, k2 = jax.random.split(rng)
+    mult = jax.random.uniform(k1, (b, c), minval=cfg.brightness_range[0],
+                              maxval=cfg.brightness_range[1])
+    out = x * mult[:, None, None, None, :]
+    return _per_sample_where(jax.random.bernoulli(k2, cfg.p_brightness, (b,)), out, x)
+
+
+def contrast(x, rng, cfg: IntensityAugmentConfig):
+    """Mean-preserving contrast scaling, clipped back to the original range."""
+    b, c = x.shape[0], x.shape[-1]
+    k1, k2 = jax.random.split(rng)
+    factor = jax.random.uniform(k1, (b, c), minval=cfg.contrast_range[0],
+                                maxval=cfg.contrast_range[1])
+    axes = (1, 2, 3)
+    mn = x.min(axes, keepdims=True)
+    mx = x.max(axes, keepdims=True)
+    mean = x.mean(axes, keepdims=True)
+    out = (x - mean) * factor[:, None, None, None, :] + mean
+    out = jnp.clip(out, mn, mx)
+    return _per_sample_where(jax.random.bernoulli(k2, cfg.p_contrast, (b,)), out, x)
+
+
+def _lowres_volume(vol, zoom, ignore_axis0: bool):
+    """Simulate low resolution: nearest 'downsample' to a grid of pitch 1/zoom,
+    linear 'upsample' back — expressed as a fixed-shape resample (out[i] =
+    lerp of the two nearest coarse samples), so zoom can be a traced scalar."""
+    out = vol
+    axes = range(1 if ignore_axis0 else 0, 3)
+    for ax in axes:
+        n = out.shape[ax]
+        i = jnp.arange(n, dtype=jnp.float32)
+        p = i * zoom                      # position in coarse units
+        j0 = jnp.floor(p)
+        frac = p - j0
+        src0 = jnp.clip(jnp.round(j0 / zoom), 0, n - 1).astype(jnp.int32)
+        src1 = jnp.clip(jnp.round((j0 + 1) / zoom), 0, n - 1).astype(jnp.int32)
+        moved = jnp.moveaxis(out, ax, 0)
+        res = moved[src0] * (1 - frac.reshape(-1, *([1] * (moved.ndim - 1)))) + \
+              moved[src1] * frac.reshape(-1, *([1] * (moved.ndim - 1)))
+        out = jnp.moveaxis(res, 0, ax)
+    return out
+
+
+def simulate_lowres(x, rng, cfg: IntensityAugmentConfig):
+    b, c = x.shape[0], x.shape[-1]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    zooms = jax.random.uniform(k1, (b, c), minval=cfg.lowres_zoom[0], maxval=cfg.lowres_zoom[1])
+    low = jax.vmap(jax.vmap(
+        partial(_lowres_volume, ignore_axis0=cfg.lowres_ignore_axis0),
+        in_axes=(-1, 0), out_axes=-1,
+    ))(x, zooms)
+    apply = (
+        jax.random.bernoulli(k2, cfg.p_lowres, (b, 1))
+        & jax.random.bernoulli(k3, cfg.p_lowres_per_channel, (b, c))
+    )
+    return _per_channel_where(apply, low, x)
+
+
+def _gamma_once(x, rng, p: float, invert: bool, cfg: IntensityAugmentConfig):
+    """Gamma with retain_stats=True and the reference's skewed gamma sampling
+    (half the draws in (lo, 1), half in (1, hi))."""
+    b, c = x.shape[0], x.shape[-1]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    lo_side = jax.random.bernoulli(k1, 0.5, (b, c))
+    u = jax.random.uniform(k2, (b, c))
+    g_lo = cfg.gamma_range[0] + u * (1 - cfg.gamma_range[0])
+    g_hi = 1 + u * (cfg.gamma_range[1] - 1)
+    gamma = jnp.where(lo_side, g_lo, g_hi)[:, None, None, None, :]
+
+    y = -x if invert else x
+    axes = (1, 2, 3)
+    mean = y.mean(axes, keepdims=True)
+    sd = y.std(axes, keepdims=True)
+    mn = y.min(axes, keepdims=True)
+    rnge = y.max(axes, keepdims=True) - mn
+    yt = jnp.power(jnp.clip((y - mn) / (rnge + 1e-7), 0, 1), gamma) * (rnge + 1e-7) + mn
+    # retain stats
+    yt = (yt - yt.mean(axes, keepdims=True)) / (yt.std(axes, keepdims=True) + 1e-8) * sd + mean
+    yt = -yt if invert else yt
+    return _per_sample_where(jax.random.bernoulli(k3, p, (b,)), yt, x)
+
+
+def mirror(data, seg, rng, mirror_axes: Sequence[int]):
+    b = data.shape[0]
+    flags = jax.random.bernoulli(rng, 0.5, (b, len(mirror_axes)))
+    for i, ax in enumerate(mirror_axes):
+        f = flags[:, i].reshape(-1, 1, 1, 1, 1)
+        data = jnp.where(f, jnp.flip(data, ax + 1), data)
+        seg = jnp.where(f, jnp.flip(seg, ax + 1), seg)
+    return data, seg
+
+
+def downsample_seg_for_ds(seg, ds_scales: Sequence[Sequence[int]]) -> List[jnp.ndarray]:
+    """Nearest-downsample the (B, x, y, z, S) seg to each deep-supervision scale
+    (reference DownsampleSegForDSTransform2, order-0)."""
+    out = []
+    for factors in ds_scales:
+        s = seg
+        for ax, f in enumerate(factors):
+            if f == 1:
+                continue
+            n_out = s.shape[ax + 1] // f
+            # nearest sample at skimage convention centers
+            idx = np.clip(np.round((np.arange(n_out) + 0.5) * f - 0.5), 0, s.shape[ax + 1] - 1).astype(int)
+            s = jnp.take(s, jnp.asarray(idx), axis=ax + 1)
+        out.append(s)
+    return out
+
+
+# --- full pipelines -----------------------------------------------------------
+
+def make_train_augment_fn(cfg: AugmentConfig):
+    """Returns jittable fn(rng, data(B,ix,iy,iz,C), seg(B,ix,iy,iz,S)) ->
+    (data(B,*patch,C) fp32, [seg targets per DS level] int16)."""
+    ic = cfg.intensity
+
+    def augment(rng, data, seg):
+        keys = jax.random.split(rng, 10)
+        data, seg = spatial_augment(data, seg, keys[0], cfg.spatial)
+        data = gaussian_noise(data, keys[1], ic)
+        data = gaussian_blur(data, keys[2], ic)
+        data = brightness_multiplicative(data, keys[3], ic)
+        data = contrast(data, keys[4], ic)
+        data = simulate_lowres(data, keys[5], ic)
+        data = _gamma_once(data, keys[6], ic.p_gamma_invert, True, ic)
+        data = _gamma_once(data, keys[7], ic.p_gamma, False, ic)
+        if cfg.mirror_axes:
+            data, seg = mirror(data, seg, keys[8], cfg.mirror_axes)
+        if cfg.mask_channels_for_norm:
+            outside = (seg[..., :1] < 0)
+            for ch in cfg.mask_channels_for_norm:
+                data = data.at[..., ch].set(jnp.where(outside[..., 0], 0.0, data[..., ch]))
+        seg = jnp.where(seg == -1, 0, seg)  # RemoveLabelTransform
+        targets = downsample_seg_for_ds(seg, cfg.ds_scales) if cfg.ds_scales else [seg]
+        return data, targets
+
+    return augment
+
+
+def make_val_transform_fn(cfg: AugmentConfig):
+    """Validation: label cleanup + DS pyramid only (reference
+    get_validation_transforms)."""
+    def transform(rng, data, seg):
+        del rng
+        data = data.astype(jnp.float32)
+        seg = jnp.where(seg == -1, 0, seg)
+        targets = downsample_seg_for_ds(seg, cfg.ds_scales) if cfg.ds_scales else [seg]
+        return data, targets
+    return transform

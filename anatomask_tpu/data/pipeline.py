@@ -1,0 +1,80 @@
+"""Host->device input pipeline.
+
+Replaces the reference's NonDetMultiThreadedAugmenter process pool
+(/root/reference/nnunetv2/training/dataloading/../data_augmentation/
+custom_transforms/limited_length_multithreaded_augmenter.py): host threads only
+*gather mmap'd patches* (cheap); augmentation runs on-device. Double-buffered
+so the device never waits on the host (SURVEY.md §7 'host I/O pipeline').
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class PrefetchPipeline:
+    """Pulls batches from `sampler.generate_batch()` on background threads and
+    stages them ahead of consumption. Nondeterministic batch order across
+    workers (matches the reference's NonDetMultiThreadedAugmenter semantics);
+    per-sampler RNG keeps contents reproducible with num_workers=1."""
+
+    def __init__(self, sampler, num_workers: int = 3, prefetch_depth: int = 4,
+                 device_put: bool = False):
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
+        self.device_put = device_put
+        self._stop = threading.Event()
+        self._threads = []
+        self._started = False
+        self._lock = threading.Lock()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                with self._lock:
+                    batch = self.sampler.generate_batch()
+            except Exception as e:  # surface worker death to the consumer
+                self.queue.put(e)
+                return
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if self.device_put:
+                arrays = jax.device_put(arrays)
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(arrays, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def start(self):
+        if self._started:
+            return
+        self._started = True
+        for _ in range(self.num_workers):
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def __iter__(self) -> Iterator[dict]:
+        self.start()
+        return self
+
+    def __next__(self) -> dict:
+        item = self.queue.get()
+        if isinstance(item, Exception):
+            raise RuntimeError("data pipeline worker died") from item
+        return item
+
+    def stop(self):
+        self._stop.set()
+        # drain so workers blocked on put can exit
+        try:
+            while True:
+                self.queue.get_nowait()
+        except queue.Empty:
+            pass

@@ -1,0 +1,157 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anatomask_tpu.data.augment import (
+    AugmentConfig,
+    IntensityAugmentConfig,
+    SpatialAugmentConfig,
+    compute_initial_patch_size,
+    downsample_seg_for_ds,
+    gaussian_blur,
+    gaussian_noise,
+    contrast,
+    brightness_multiplicative,
+    make_train_augment_fn,
+    make_val_transform_fn,
+    mirror,
+    rotation_ranges_and_initial_patch_size,
+    simulate_lowres,
+    spatial_augment,
+    _gamma_once,
+)
+
+
+def _identity_spatial(patch):
+    return SpatialAugmentConfig(
+        patch_size=tuple(patch), p_rotation=0.0, p_scaling=0.0,
+    )
+
+
+def test_initial_patch_size_enlarged():
+    size = compute_initial_patch_size([64, 64, 64], (-np.pi / 6, np.pi / 6),
+                                      (-np.pi / 6, np.pi / 6), (-np.pi / 6, np.pi / 6),
+                                      (0.85, 1.25))
+    assert all(s > 64 for s in size)
+
+
+def test_rotation_config_isotropic_vs_aniso():
+    rot, dummy, initial, mirror_axes = rotation_ranges_and_initial_patch_size([64, 64, 64])
+    assert not dummy and mirror_axes == (0, 1, 2)
+    rot, dummy, initial, _ = rotation_ranges_and_initial_patch_size([16, 64, 64])
+    assert dummy
+    assert initial[0] == 16  # axis 0 not enlarged in dummy-2D
+
+
+def test_spatial_identity_is_center_crop(rng):
+    data = rng.rand(2, 12, 12, 12, 1).astype(np.float32)
+    seg = rng.randint(0, 3, (2, 12, 12, 12, 1)).astype(np.int16)
+    cfg = _identity_spatial((8, 8, 8))
+    d, s = spatial_augment(jnp.array(data), jnp.array(seg), jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(np.asarray(d), data[:, 2:10, 2:10, 2:10], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s), seg[:, 2:10, 2:10, 2:10])
+
+
+def test_spatial_rotation_changes_but_preserves_range(rng):
+    data = rng.rand(1, 16, 16, 16, 1).astype(np.float32)
+    seg = rng.randint(0, 4, (1, 16, 16, 16, 1)).astype(np.int16)
+    cfg = SpatialAugmentConfig(patch_size=(8, 8, 8), p_rotation=1.0, p_scaling=1.0)
+    d, s = spatial_augment(jnp.array(data), jnp.array(seg), jax.random.PRNGKey(42), cfg)
+    assert d.shape == (1, 8, 8, 8, 1)
+    assert float(d.min()) >= -1e-5 and float(d.max()) <= 1.0 + 1e-5  # interp stays in hull
+    assert set(np.unique(np.asarray(s))) <= {-1, 0, 1, 2, 3}  # nearest keeps labels
+
+
+def test_noise_changes_data(rng):
+    x = jnp.array(rng.rand(2, 8, 8, 8, 1).astype(np.float32))
+    cfg = IntensityAugmentConfig(p_noise=1.0)
+    out = gaussian_noise(x, jax.random.PRNGKey(0), cfg)
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_blur_reduces_variance(rng):
+    x = jnp.array(rng.rand(1, 12, 12, 12, 1).astype(np.float32))
+    cfg = IntensityAugmentConfig(p_blur=1.0, p_blur_per_channel=1.0, blur_sigma=(1.0, 1.0))
+    out = gaussian_blur(x, jax.random.PRNGKey(0), cfg)
+    assert float(jnp.var(out)) < float(jnp.var(x))
+    assert float(jnp.mean(out)) == pytest.approx(float(jnp.mean(x)), rel=0.05)
+
+
+def test_brightness_scales(rng):
+    x = jnp.array(rng.rand(1, 4, 4, 4, 2).astype(np.float32)) + 1
+    cfg = IntensityAugmentConfig(p_brightness=1.0, brightness_range=(2.0, 2.0))
+    out = brightness_multiplicative(x, jax.random.PRNGKey(0), cfg)
+    np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), rtol=1e-5)
+
+
+def test_contrast_preserves_mean(rng):
+    x = jnp.array(rng.rand(1, 8, 8, 8, 1).astype(np.float32))
+    cfg = IntensityAugmentConfig(p_contrast=1.0, contrast_range=(0.5, 0.5))
+    out = contrast(x, jax.random.PRNGKey(0), cfg)
+    assert float(out.mean()) == pytest.approx(float(x.mean()), rel=1e-3)
+    assert float(out.std()) < float(x.std())
+
+
+def test_lowres_blockiness(rng):
+    x = jnp.array(rng.rand(1, 16, 16, 16, 1).astype(np.float32))
+    cfg = IntensityAugmentConfig(p_lowres=1.0, p_lowres_per_channel=1.0, lowres_zoom=(0.5, 0.5))
+    out = simulate_lowres(x, jax.random.PRNGKey(0), cfg)
+    # fewer distinct effective samples along each axis -> reduced variation
+    d_orig = np.abs(np.diff(np.asarray(x)[0, :, 0, 0, 0])).sum()
+    d_low = np.abs(np.diff(np.asarray(out)[0, :, 0, 0, 0])).sum()
+    assert d_low < d_orig
+
+
+def test_gamma_retain_stats(rng):
+    x = jnp.array(rng.rand(1, 8, 8, 8, 1).astype(np.float32) * 3 - 1)
+    out = _gamma_once(x, jax.random.PRNGKey(3), 1.0, False, IntensityAugmentConfig())
+    assert float(out.mean()) == pytest.approx(float(x.mean()), abs=1e-3)
+    assert float(out.std()) == pytest.approx(float(x.std()), rel=1e-3)
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_mirror_involution(rng):
+    data = jnp.array(rng.rand(4, 6, 6, 6, 1).astype(np.float32))
+    seg = jnp.array(rng.randint(0, 2, (4, 6, 6, 6, 1)).astype(np.int16))
+    d, s = mirror(data, seg, jax.random.PRNGKey(0), (0, 1, 2))
+    # values preserved as multisets per sample
+    for b in range(4):
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d[b]).ravel()), np.sort(np.asarray(data[b]).ravel()), atol=0
+        )
+
+
+def test_ds_pyramid_shapes():
+    seg = jnp.zeros((2, 16, 16, 8, 1), jnp.int16)
+    outs = downsample_seg_for_ds(seg, [(1, 1, 1), (2, 2, 2), (4, 4, 2)])
+    assert outs[0].shape == (2, 16, 16, 8, 1)
+    assert outs[1].shape == (2, 8, 8, 4, 1)
+    assert outs[2].shape == (2, 4, 4, 4, 1)
+
+
+def test_full_train_pipeline(rng):
+    cfg = AugmentConfig(
+        spatial=SpatialAugmentConfig(patch_size=(8, 8, 8)),
+        mirror_axes=(0, 1, 2),
+        mask_channels_for_norm=(0,),
+        ds_scales=((1, 1, 1), (2, 2, 2)),
+    )
+    fn = jax.jit(make_train_augment_fn(cfg))
+    data = jnp.array(rng.rand(2, 12, 12, 12, 1).astype(np.float32))
+    seg = jnp.array(rng.randint(-1, 3, (2, 12, 12, 12, 1)).astype(np.int16))
+    d, targets = fn(jax.random.PRNGKey(0), data, seg)
+    assert d.shape == (2, 8, 8, 8, 1)
+    assert len(targets) == 2
+    assert targets[0].shape == (2, 8, 8, 8, 1)
+    assert targets[1].shape == (2, 4, 4, 4, 1)
+    assert int(jnp.min(targets[0])) >= 0  # -1 removed
+
+
+def test_val_pipeline(rng):
+    cfg = AugmentConfig(spatial=_identity_spatial((8, 8, 8)), ds_scales=((1, 1, 1),))
+    fn = make_val_transform_fn(cfg)
+    data = jnp.array(rng.rand(1, 8, 8, 8, 1).astype(np.float32))
+    seg = jnp.full((1, 8, 8, 8, 1), -1, jnp.int16)
+    d, targets = fn(None, data, seg)
+    assert int(targets[0].max()) == 0

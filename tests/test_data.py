@@ -1,0 +1,91 @@
+import os
+
+import numpy as np
+import pytest
+
+from anatomask_tpu.data.dataset import CaseDataset, unpack_dataset
+from anatomask_tpu.data.sampler import PatchSampler
+from anatomask_tpu.data.pipeline import PrefetchPipeline
+from anatomask_tpu.preprocessing.preprocessor import save_properties
+
+
+def _make_preprocessed(tmp_path, n_cases=3, shape=(20, 22, 24)):
+    folder = str(tmp_path / "pp")
+    os.makedirs(folder, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for i in range(n_cases):
+        data = rng.rand(1, *shape).astype(np.float32)
+        seg = np.zeros((1, *shape), dtype=np.int8)
+        seg[0, 5:10, 5:10, 5:10] = 1
+        seg[0, 12:15, 12:15, 12:15] = 2
+        base = os.path.join(folder, f"case_{i:03d}")
+        np.savez_compressed(base + ".npz", data=data, seg=seg)
+        props = {
+            "spacing": [1.0, 1.0, 1.0],
+            "class_locations": {
+                1: np.argwhere(seg == 1)[:50],
+                2: np.argwhere(seg == 2)[:50],
+            },
+        }
+        save_properties(props, base)
+    return folder
+
+
+def test_dataset_load_and_unpack(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    assert len(ds) == 3
+    data, seg, props = ds.load_case("case_000")
+    assert data.shape == (1, 20, 22, 24)
+    assert "class_locations" in props
+    unpack_dataset(folder, num_processes=1)
+    assert os.path.isfile(os.path.join(folder, "case_000.npy"))
+    data2, seg2, _ = ds.load_case("case_000")
+    assert isinstance(data2, np.memmap)
+    np.testing.assert_array_equal(np.asarray(data2), np.asarray(data))
+
+
+def test_sampler_shapes_and_padding(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=4, patch_size=(32, 32, 32),
+                           oversample_foreground_percent=0.33, seed=0)
+    batch = sampler.generate_batch()
+    assert batch["data"].shape == (4, 32, 32, 32, 1)
+    assert batch["seg"].shape == (4, 32, 32, 32, 1)
+    # patch larger than volume -> padded with 0 (data) / -1 (seg)
+    assert (batch["seg"] == -1).any()
+    assert batch["data"].dtype == np.float32
+
+
+def test_sampler_force_fg(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=2, patch_size=(8, 8, 8),
+                           oversample_foreground_percent=1.0, seed=0)
+    for _ in range(5):
+        batch = sampler.generate_batch()
+        for b in range(2):
+            assert (batch["seg"][b] > 0).any(), "forced-fg patch must contain foreground"
+
+
+def test_sampler_oversample_last_fraction(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=3, patch_size=(8, 8, 8),
+                           oversample_foreground_percent=0.33, seed=0)
+    # batch 3, 33% -> exactly the last sample is forced (reference round rule)
+    assert not sampler._do_oversample(0)
+    assert not sampler._do_oversample(1)
+    assert sampler._do_oversample(2)
+
+
+def test_prefetch_pipeline(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=2, patch_size=(16, 16, 16), seed=0)
+    pipe = PrefetchPipeline(sampler, num_workers=2, prefetch_depth=2)
+    it = iter(pipe)
+    batches = [next(it) for _ in range(5)]
+    assert all(b["data"].shape == (2, 16, 16, 16, 1) for b in batches)
+    pipe.stop()
