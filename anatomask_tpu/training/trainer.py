@@ -1,0 +1,776 @@
+"""Supervised trainer: mesh data parallelism, jit-fused augment+train step.
+
+Capability parity: /root/reference/nnunetv2/training/nnUNetTrainer/nnUNetTrainer.py
+(the god-object trainer, 1263 LoC) and the STUNetTrainer family (:15-354):
+- lifecycle initialize -> run_training (epoch loop: 250 train / 50 val iters)
+  -> on_train_end; checkpoint latest/best/final (:1041-1108); --c resume
+- 5-fold split with seed 12345 auto-created as splits_final.json (:505)
+- deep supervision loss with 1/2^i weights (:356-362); DC+CE with config
+  batch_dice; grad-clip 12; SGD-nesterov-0.99 + PolyLR (:461-465) or the
+  STUNet recipe AdamW(1e-4, wd 1e-5, eps 1e-4) + cosine (:70-77)
+- per-rank batch/oversample partitioning (:295-340) -> here the HOST builds the
+  global batch and shards it over the 'data' mesh axis; forced-foreground
+  samples are the global batch's tail exactly as in the reference
+- validation_step hard Dice from the highest-res head (:914-975); EMA(0.9)
+  pseudo-Dice best-checkpoint tracking; benchmark mode (variants/benchmarking)
+- perform_actual_validation via the Predictor + metrics summary (:1113-1240)
+
+TPU redesign: DDP/NCCL -> one jitted SPMD step over a Mesh(('data',)) with
+NamedSharding; gradient all-reduce and global batch-dice emerge from GSPMD
+partitioning of the global-batch computation (no explicit collectives); AMP ->
+bf16 compute dtype; augmentation runs inside the same jit as fwd/bwd.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anatomask_tpu.configuration import get_allowed_n_proc_DA
+from anatomask_tpu.data.augment import (
+    AugmentConfig,
+    IntensityAugmentConfig,
+    SpatialAugmentConfig,
+    make_train_augment_fn,
+    make_val_transform_fn,
+    rotation_ranges_and_initial_patch_size,
+)
+from anatomask_tpu.data.dataset import CaseDataset, unpack_dataset
+from anatomask_tpu.data.pipeline import PrefetchPipeline
+from anatomask_tpu.data.sampler import PatchSampler
+from anatomask_tpu.models.build import build_network_from_plans
+from anatomask_tpu.paths import require
+from anatomask_tpu.plans.label_handling import determine_num_input_channels
+from anatomask_tpu.plans.plans_handler import PlansManager, load_json, save_json
+from anatomask_tpu.training import checkpoint as ckpt_lib
+from anatomask_tpu.training.logger import TrainingLogger
+from anatomask_tpu.training.losses import (
+    dc_and_bce_loss,
+    dc_and_ce_loss,
+    dc_and_topk_loss,
+    cross_entropy_loss,
+    deep_supervision_loss,
+    deep_supervision_weights,
+    hard_dice_parts,
+    memory_efficient_soft_dice_loss,
+)
+from anatomask_tpu.training.schedules import (
+    cosine_annealing_schedule,
+    poly_lr_schedule,
+)
+
+
+@dataclass(frozen=True)
+class TrainerConfig:
+    """Declarative trainer configuration. The reference's trainer-variant
+    subclass zoo (variants/: Xepochs, CosAnneal, Adam, NoMirroring, NoDA,
+    DiceLoss/CELoss/TopkLoss, probabilisticOversampling, benchmark, ...) maps to
+    preset instances of this dataclass (see TRAINER_PRESETS)."""
+    name: str = "ATKTrainer"
+    num_epochs: int = 1000
+    num_iterations_per_epoch: int = 250
+    num_val_iterations_per_epoch: int = 50
+    optimizer: str = "sgd"                 # sgd | adamw | adam
+    initial_lr: float = 1e-2
+    weight_decay: float = 3e-5
+    adam_eps: float = 1e-8
+    lr_scheduler: str = "poly"             # poly | cosine
+    grad_clip: float = 12.0
+    oversample_foreground_percent: float = 0.33
+    probabilistic_oversampling: bool = False
+    enable_deep_supervision: bool = True
+    loss: str = "dc_ce"                    # dc_ce | dice | ce | dc_topk
+    do_mirroring_aug: bool = True
+    do_data_augmentation: bool = True
+    save_every: int = 50
+    arch_name: Optional[str] = None        # e.g. "STUNet-B"
+    compute_dtype: str = "bfloat16"
+    benchmark: bool = False                # 5-epoch speed benchmark semantics
+    benchmark_no_dataloading: bool = False # GPU/TPU-only throughput (dummy batch)
+    num_workers: Optional[int] = None
+    seed: int = 12345
+
+
+def stunet_trainer_config(size: str = "B", **overrides) -> TrainerConfig:
+    """Reference STUNetTrainer recipe (STUNetTrainer.py:70-77): AdamW 1e-4,
+    wd 1e-5, eps 1e-4, cosine, 1000 epochs."""
+    base = TrainerConfig(
+        name=f"STUNetTrainer_{size}",
+        optimizer="adamw", initial_lr=1e-4, weight_decay=1e-5, adam_eps=1e-4,
+        lr_scheduler="cosine", arch_name=f"STUNet-{size}",
+    )
+    return replace(base, **overrides)
+
+
+TRAINER_PRESETS: Dict[str, TrainerConfig] = {
+    "ATKTrainer": TrainerConfig(),
+    "ATKTrainer_1epoch": TrainerConfig(name="ATKTrainer_1epoch", num_epochs=1),
+    "ATKTrainer_5epochs": TrainerConfig(name="ATKTrainer_5epochs", num_epochs=5),
+    "ATKTrainer_10epochs": TrainerConfig(name="ATKTrainer_10epochs", num_epochs=10),
+    "ATKTrainer_20epochs": TrainerConfig(name="ATKTrainer_20epochs", num_epochs=20),
+    "ATKTrainer_50epochs": TrainerConfig(name="ATKTrainer_50epochs", num_epochs=50),
+    "ATKTrainer_100epochs": TrainerConfig(name="ATKTrainer_100epochs", num_epochs=100),
+    "ATKTrainer_250epochs": TrainerConfig(name="ATKTrainer_250epochs", num_epochs=250),
+    "ATKTrainer_2000epochs": TrainerConfig(name="ATKTrainer_2000epochs", num_epochs=2000),
+    "ATKTrainer_4000epochs": TrainerConfig(name="ATKTrainer_4000epochs", num_epochs=4000),
+    "ATKTrainer_8000epochs": TrainerConfig(name="ATKTrainer_8000epochs", num_epochs=8000),
+    "ATKTrainerCosAnneal": TrainerConfig(name="ATKTrainerCosAnneal", lr_scheduler="cosine"),
+    "ATKTrainerAdam": TrainerConfig(name="ATKTrainerAdam", optimizer="adam", initial_lr=3e-4),
+    "ATKTrainerAdamW": TrainerConfig(name="ATKTrainerAdamW", optimizer="adamw", initial_lr=3e-4),
+    "ATKTrainerNoMirroring": TrainerConfig(name="ATKTrainerNoMirroring", do_mirroring_aug=False),
+    "ATKTrainerNoDA": TrainerConfig(name="ATKTrainerNoDA", do_data_augmentation=False),
+    "ATKTrainerNoDeepSupervision": TrainerConfig(name="ATKTrainerNoDeepSupervision", enable_deep_supervision=False),
+    "ATKTrainerDiceLoss": TrainerConfig(name="ATKTrainerDiceLoss", loss="dice"),
+    "ATKTrainerCELoss": TrainerConfig(name="ATKTrainerCELoss", loss="ce"),
+    "ATKTrainerTopkLoss": TrainerConfig(name="ATKTrainerTopkLoss", loss="dc_topk"),
+    "ATKTrainer_probabilisticOversampling": TrainerConfig(
+        name="ATKTrainer_probabilisticOversampling", probabilistic_oversampling=True),
+    "ATKTrainer_probabilisticOversampling_033": TrainerConfig(
+        name="ATKTrainer_probabilisticOversampling_033", probabilistic_oversampling=True,
+        oversample_foreground_percent=0.33),
+    "ATKTrainer_probabilisticOversampling_010": TrainerConfig(
+        name="ATKTrainer_probabilisticOversampling_010", probabilistic_oversampling=True,
+        oversample_foreground_percent=0.10),
+    "ATKTrainerBenchmark_5epochs": TrainerConfig(
+        name="ATKTrainerBenchmark_5epochs", num_epochs=5, benchmark=True),
+    "ATKTrainerBenchmark_5epochs_noDataLoading": TrainerConfig(
+        name="ATKTrainerBenchmark_5epochs_noDataLoading", num_epochs=5, benchmark=True,
+        benchmark_no_dataloading=True),
+    "STUNetTrainer_small": stunet_trainer_config("S"),
+    "STUNetTrainer_base": stunet_trainer_config("B"),
+    "STUNetTrainer_large": stunet_trainer_config("L"),
+    "STUNetTrainer_huge": stunet_trainer_config("H"),
+    "STUNetTrainer_base_ft": stunet_trainer_config("B"),
+}
+
+
+def get_trainer_config(name: str) -> TrainerConfig:
+    if name not in TRAINER_PRESETS:
+        raise RuntimeError(f"Unknown trainer {name!r}. Known: {sorted(TRAINER_PRESETS)}")
+    return TRAINER_PRESETS[name]
+
+
+def generate_crossval_split(keys: List[str], n_splits: int = 5, seed: int = 12345) -> List[dict]:
+    """KFold(5, shuffle, seed 12345) as in the reference do_split (:505)."""
+    keys = sorted(keys)
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(keys))
+    folds = np.array_split(idx, n_splits)
+    splits = []
+    for f in range(n_splits):
+        val_idx = set(folds[f].tolist())
+        splits.append({
+            "train": [keys[i] for i in range(len(keys)) if i not in val_idx],
+            "val": [keys[i] for i in sorted(val_idx)],
+        })
+    return splits
+
+
+def pick_mesh_for_batch(batch_size: int) -> Tuple[Mesh, int]:
+    """Largest divisor of batch_size <= device count -> Mesh(('data',))."""
+    devices = jax.devices()
+    n = len(devices)
+    while batch_size % n != 0:
+        n -= 1
+    return Mesh(np.array(devices[:n]), ("data",)), n
+
+
+class Trainer:
+    def __init__(
+        self,
+        plans: dict | str,
+        configuration: str,
+        fold: int | str,
+        dataset_json: dict,
+        config: TrainerConfig = TrainerConfig(),
+        output_folder: Optional[str] = None,
+        preprocessed_dataset_folder_base: Optional[str] = None,
+    ):
+        self.plans_manager = PlansManager(plans)
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.configuration_name = configuration
+        self.fold = fold
+        self.dataset_json = dataset_json
+        self.cfg = config
+        self.label_manager = self.plans_manager.get_label_manager(dataset_json)
+
+        self.preprocessed_dataset_folder_base = preprocessed_dataset_folder_base or os.path.join(
+            require("preprocessed"), self.plans_manager.dataset_name
+        )
+        self.preprocessed_dataset_folder = os.path.join(
+            self.preprocessed_dataset_folder_base, self.configuration_manager.data_identifier
+        )
+        if output_folder is not None:
+            self.output_folder_base = output_folder
+        else:
+            self.output_folder_base = os.path.join(
+                require("results"), self.plans_manager.dataset_name,
+                f"{config.name}__{self.plans_manager.plans_name}__{configuration}",
+            )
+        self.output_folder = os.path.join(self.output_folder_base, f"fold_{fold}")
+        os.makedirs(self.output_folder, exist_ok=True)
+
+        self.logger = TrainingLogger()
+        self.current_epoch = 0
+        self._best_ema: Optional[float] = None
+        self.network = None
+        self.params = None
+        self.opt_state = None
+        self._train_step = None
+        self._val_step = None
+        self.inference_allowed_mirroring_axes: Optional[Tuple[int, ...]] = None
+        self._epoch_times: List[float] = []
+        self._log_lines: List[str] = []
+
+    # --- logging --------------------------------------------------------------
+    def print_to_log_file(self, *args, also_print_to_console: bool = True):
+        line = " ".join(str(a) for a in args)
+        self._log_lines.append(line)
+        if also_print_to_console:
+            print(line, flush=True)
+        try:
+            with open(os.path.join(self.output_folder, "training_log.txt"), "a") as f:
+                f.write(line + "\n")
+        except IOError:
+            pass
+
+    def _save_debug_information(self):
+        dbg = {
+            "jax_version": jax.__version__,
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "trainer_config": {k: str(v) for k, v in self.cfg.__dict__.items()},
+            "configuration_name": self.configuration_name,
+            "patch_size": self.configuration_manager.patch_size,
+            "batch_size": self.configuration_manager.batch_size,
+        }
+        with open(os.path.join(self.output_folder, "debug.json"), "w") as f:
+            json.dump(dbg, f, indent=2)
+
+    # --- splits ---------------------------------------------------------------
+    def do_split(self) -> Tuple[List[str], List[str]]:
+        all_keys = sorted(CaseDataset(self.preprocessed_dataset_folder).keys())
+        if self.fold == "all":
+            return all_keys, all_keys
+        splits_file = os.path.join(self.preprocessed_dataset_folder_base, "splits_final.json")
+        if not os.path.isfile(splits_file):
+            splits = generate_crossval_split(all_keys, 5, seed=12345)
+            save_json(splits, splits_file)
+        else:
+            splits = load_json(splits_file)
+        fold = int(self.fold)
+        if fold < len(splits):
+            tr, val = splits[fold]["train"], splits[fold]["val"]
+        else:
+            # fold beyond splits: random 80:20 (reference behavior)
+            rng = np.random.RandomState(12345 + fold)
+            idx = rng.permutation(len(all_keys))
+            n_val = max(1, len(all_keys) // 5)
+            val = [all_keys[i] for i in idx[:n_val]]
+            tr = [all_keys[i] for i in idx[n_val:]]
+        return tr, val
+
+    # --- deep supervision topology --------------------------------------------
+    def _ds_factors(self) -> List[Tuple[int, ...]]:
+        pools = [list(p) for p in self.configuration_manager.pool_op_kernel_sizes]
+        if pools and all(p == 1 for p in pools[0]):
+            pools = pools[1:]
+        if self.cfg.arch_name and self.cfg.arch_name.lower().startswith("stunet"):
+            while len(pools) < 5:
+                pools.append([1] * len(pools[0]))
+            pools = pools[:5]
+        n_outputs = len(pools)
+        factors = [tuple([1] * len(pools[0]))]
+        cur = np.ones(len(pools[0]), dtype=int)
+        for p in pools[:-1]:
+            cur = cur * np.asarray(p)
+            factors.append(tuple(int(i) for i in cur))
+        return factors[:n_outputs]
+
+    # --- initialization -------------------------------------------------------
+    def initialize(self):
+        cm = self.configuration_manager
+        num_in = determine_num_input_channels(self.plans_manager, cm, self.dataset_json)
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.network = build_network_from_plans(
+            self.plans_manager, cm, num_in, self.label_manager.num_segmentation_heads,
+            arch_name=self.cfg.arch_name,
+            deep_supervision=self.cfg.enable_deep_supervision, dtype=dtype,
+        )
+        patch = tuple(cm.patch_size)
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        example = jnp.zeros((1, *patch, num_in), dtype)
+        self.params = self.network.init(rng, example)["params"]
+
+        steps_per_epoch = self.cfg.num_iterations_per_epoch
+        total_steps = self.cfg.num_epochs * steps_per_epoch
+        if self.cfg.lr_scheduler == "poly":
+            # stepped per-epoch like the reference PolyLRScheduler
+            base = poly_lr_schedule(self.cfg.initial_lr, self.cfg.num_epochs)
+            self._lr_schedule = lambda step: base(step // steps_per_epoch)
+        else:
+            base = cosine_annealing_schedule(self.cfg.initial_lr, self.cfg.num_epochs)
+            self._lr_schedule = lambda step: base(step // steps_per_epoch)
+
+        chain = [optax.clip_by_global_norm(self.cfg.grad_clip)]
+        if self.cfg.optimizer == "sgd":
+            chain += [
+                optax.add_decayed_weights(self.cfg.weight_decay),
+                optax.sgd(self._lr_schedule, momentum=0.99, nesterov=True),
+            ]
+        elif self.cfg.optimizer == "adamw":
+            chain += [optax.adamw(self._lr_schedule, weight_decay=self.cfg.weight_decay,
+                                  eps=self.cfg.adam_eps)]
+        elif self.cfg.optimizer == "adam":
+            chain += [optax.adam(self._lr_schedule, eps=self.cfg.adam_eps)]
+        else:
+            raise RuntimeError(f"unknown optimizer {self.cfg.optimizer}")
+        self.optimizer = optax.chain(*chain)
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_counter = 0
+
+        # augmentation configs
+        rot, dummy_2d, initial_patch, mirror_axes = rotation_ranges_and_initial_patch_size(patch)
+        self.inference_allowed_mirroring_axes = mirror_axes if self.cfg.do_mirroring_aug else None
+        self.initial_patch_size = tuple(int(i) for i in initial_patch)
+        ds_factors = tuple(self._ds_factors()) if self.cfg.enable_deep_supervision else ((1,) * len(patch),)
+        mask_channels = tuple(
+            i for i, m in enumerate(cm.use_mask_for_norm or []) if m
+        )
+        if self.cfg.do_data_augmentation:
+            spatial = SpatialAugmentConfig(
+                patch_size=patch,
+                rotation_x=tuple(rot["x"]), rotation_y=tuple(rot["y"]), rotation_z=tuple(rot["z"]),
+                dummy_2d=dummy_2d,
+            )
+            intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
+        else:
+            spatial = SpatialAugmentConfig(patch_size=patch, p_rotation=0.0, p_scaling=0.0)
+            intensity = IntensityAugmentConfig(
+                p_noise=0, p_blur=0, p_brightness=0, p_contrast=0, p_lowres=0,
+                p_gamma=0, p_gamma_invert=0)
+        self.aug_config = AugmentConfig(
+            spatial=spatial, intensity=intensity,
+            mirror_axes=mirror_axes if (self.cfg.do_mirroring_aug and self.cfg.do_data_augmentation) else (),
+            mask_channels_for_norm=mask_channels,
+            ds_scales=tuple(ds_factors),
+            ignore_label=self.label_manager.ignore_label,
+        )
+        self.val_config = AugmentConfig(
+            spatial=SpatialAugmentConfig(patch_size=patch, p_rotation=0.0, p_scaling=0.0),
+            mirror_axes=(), mask_channels_for_norm=mask_channels, ds_scales=tuple(ds_factors),
+            ignore_label=self.label_manager.ignore_label,
+        )
+
+        self._build_steps()
+        self._save_debug_information()
+        save_json(self.plans_manager.plans, os.path.join(self.output_folder_base, "plans.json"), sort_keys=False)
+        save_json(self.dataset_json, os.path.join(self.output_folder_base, "dataset.json"), sort_keys=False)
+
+    # --- loss -----------------------------------------------------------------
+    def _single_scale_loss(self, logits, seg_target):
+        """seg_target: (B, *spatial, 1) int. Regions handled by on-device one-hot."""
+        lm = self.label_manager
+        batch_dice = bool(self.configuration_manager.batch_dice)
+        if lm.has_regions:
+            regions = lm.foreground_regions
+            t = seg_target[..., 0]
+            chans = [jnp.isin(t, jnp.asarray(r if isinstance(r, tuple) else (r,))).astype(jnp.float32)
+                     for r in regions]
+            target = jnp.stack(chans, axis=-1)
+            if lm.has_ignore_label:
+                target = jnp.concatenate(
+                    [target, (t == lm.ignore_label).astype(jnp.float32)[..., None]], -1)
+            return dc_and_bce_loss(logits, target, batch_dice=batch_dice,
+                                   has_ignore_channel=lm.has_ignore_label)
+        t = seg_target[..., 0].astype(jnp.int32)
+        ignore = lm.ignore_label
+        if self.cfg.loss == "dc_ce":
+            return dc_and_ce_loss(logits, t, batch_dice=batch_dice, ignore_label=ignore)
+        if self.cfg.loss == "dice":
+            mask = None if ignore is None else (t != ignore)[..., None]
+            tt = t if ignore is None else jnp.where(t == ignore, 0, t)
+            return memory_efficient_soft_dice_loss(logits, tt, batch_dice=batch_dice, loss_mask=mask)
+        if self.cfg.loss == "ce":
+            mask = None if ignore is None else (t != ignore)[..., None]
+            tt = t if ignore is None else jnp.where(t == ignore, 0, t)
+            return cross_entropy_loss(logits, tt, mask)
+        if self.cfg.loss == "dc_topk":
+            return dc_and_topk_loss(logits, t, batch_dice=batch_dice, ignore_label=ignore)
+        raise RuntimeError(f"unknown loss {self.cfg.loss}")
+
+    def _full_loss(self, outputs, targets):
+        if not isinstance(outputs, (tuple, list)):
+            outputs = [outputs]
+        n = min(len(outputs), len(targets))
+        if n == 1:
+            return self._single_scale_loss(outputs[0], targets[0])
+        return deep_supervision_loss(
+            list(outputs)[:n], list(targets)[:n], self._single_scale_loss,
+            deep_supervision_weights(n),
+        )
+
+    # --- jitted steps ---------------------------------------------------------
+    def _build_steps(self):
+        cm = self.configuration_manager
+        self.mesh, self.n_shards = pick_mesh_for_batch(cm.batch_size)
+        repl = NamedSharding(self.mesh, P())
+        batch_sharding = NamedSharding(self.mesh, P("data"))
+        self._batch_sharding = batch_sharding
+        self._replicated = repl
+
+        augment_fn = make_train_augment_fn(self.aug_config)
+        val_fn = make_val_transform_fn(self.val_config)
+        optimizer = self.optimizer
+
+        def train_step(params, opt_state, rng, data, seg):
+            aug_data, targets = augment_fn(rng, data, seg)
+            aug_data = aug_data.astype(
+                jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32)
+
+            def loss_fn(p):
+                outputs = self.network.apply({"params": p}, aug_data)
+                return self._full_loss(outputs, targets)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, loss
+
+        def val_step(params, rng, data, seg):
+            vdata, targets = val_fn(rng, data, seg)
+            vdata = vdata.astype(
+                jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32)
+            outputs = self.network.apply({"params": params}, vdata)
+            loss = self._full_loss(outputs, targets)
+            highest = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+            lm = self.label_manager
+            if lm.has_regions:
+                t = targets[0][..., 0]
+                chans = [jnp.isin(t, jnp.asarray(r if isinstance(r, tuple) else (r,))).astype(jnp.float32)
+                         for r in lm.foreground_regions]
+                tgt = jnp.stack(chans, -1)
+                if lm.has_ignore_label:
+                    tgt = jnp.concatenate([tgt, (t == lm.ignore_label).astype(jnp.float32)[..., None]], -1)
+                tp, fp, fn = hard_dice_parts(highest, tgt, has_regions=True,
+                                             ignore_label=lm.ignore_label)
+            else:
+                tp, fp, fn = hard_dice_parts(highest, targets[0][..., 0],
+                                             ignore_label=lm.ignore_label)
+            return loss, tp, fp, fn
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(repl, repl, repl, batch_sharding, batch_sharding),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+        self._val_step = jax.jit(
+            val_step,
+            in_shardings=(repl, repl, batch_sharding, batch_sharding),
+            out_shardings=(repl, repl, repl, repl),
+        )
+
+    # --- dataloaders ----------------------------------------------------------
+    def get_dataloaders(self):
+        tr_keys, val_keys = self.do_split()
+        cm = self.configuration_manager
+        prev_stage_folder = None
+        if cm.previous_stage_name is not None:
+            prev_stage_folder = os.path.join(
+                self.output_folder_base.rsplit(os.sep, 1)[0].replace(
+                    f"__{self.configuration_name}", f"__{cm.previous_stage_name}"),
+                "predicted_next_stage", self.configuration_name)
+        ds_tr = CaseDataset(self.preprocessed_dataset_folder, tr_keys,
+                            folder_with_segs_from_previous_stage=prev_stage_folder)
+        ds_val = CaseDataset(self.preprocessed_dataset_folder, val_keys,
+                             folder_with_segs_from_previous_stage=prev_stage_folder)
+        annotated_key = tuple(self.label_manager.all_labels)
+        patch = tuple(cm.patch_size)
+        sample_patch = self.initial_patch_size if self.cfg.do_data_augmentation else patch
+        self.sampler_train = PatchSampler(
+            ds_tr, cm.batch_size, sample_patch, final_patch_size=patch,
+            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            annotated_classes_key=annotated_key,
+            has_ignore=self.label_manager.has_ignore_label,
+            probabilistic_oversampling=self.cfg.probabilistic_oversampling,
+            seed=self.cfg.seed,
+        )
+        self.sampler_val = PatchSampler(
+            ds_val, cm.batch_size, patch, final_patch_size=patch,
+            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            annotated_classes_key=annotated_key,
+            has_ignore=self.label_manager.has_ignore_label,
+            seed=self.cfg.seed + 1,
+        )
+        n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
+            4, get_allowed_n_proc_DA())
+        self.loader_train = PrefetchPipeline(self.sampler_train, num_workers=n_workers)
+        self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=max(1, n_workers // 2))
+        self._val_keys = val_keys
+        return self.loader_train, self.loader_val
+
+    # --- checkpointing --------------------------------------------------------
+    def save_checkpoint(self, filename: str):
+        meta = {
+            "trainer_name": self.cfg.name,
+            "configuration_name": self.configuration_name,
+            "current_epoch": self.current_epoch + 1,
+            "_best_ema": self._best_ema,
+            "logging": self.logger.get_checkpoint(),
+            "inference_allowed_mirroring_axes": (
+                list(self.inference_allowed_mirroring_axes)
+                if self.inference_allowed_mirroring_axes is not None else None),
+            "network_arch_name": self.cfg.arch_name,
+            "step_counter": self.step_counter,
+        }
+        arrays = {
+            "network_weights": jax.tree_util.tree_map(np.asarray, self.params),
+            "optimizer_state": jax.tree_util.tree_map(
+                np.asarray, optax_state_to_pytree(self.opt_state)),
+        }
+        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename), arrays, meta)
+
+    def load_checkpoint(self, filename_or_path: str):
+        path = filename_or_path if os.path.isabs(filename_or_path) else os.path.join(
+            self.output_folder, filename_or_path)
+        arrays, meta = ckpt_lib.load_checkpoint(path)
+        if self.network is None:
+            self.initialize()
+        self.params = jax.tree_util.tree_map(jnp.asarray, arrays["network_weights"])
+        if "optimizer_state" in arrays:
+            self.opt_state = pytree_to_optax_state(self.opt_state, arrays["optimizer_state"])
+        self.current_epoch = meta.get("current_epoch", 0)
+        self._best_ema = meta.get("_best_ema")
+        self.step_counter = meta.get("step_counter", self.current_epoch * self.cfg.num_iterations_per_epoch)
+        if meta.get("logging"):
+            self.logger.load_checkpoint(meta["logging"])
+        mirroring = meta.get("inference_allowed_mirroring_axes")
+        if mirroring is not None:
+            self.inference_allowed_mirroring_axes = tuple(mirroring)
+
+    # --- training loop --------------------------------------------------------
+    def run_training(self, continue_training: bool = False):
+        if self.network is None:
+            self.initialize()
+        if continue_training:
+            for candidate in ("checkpoint_latest.npz", "checkpoint_best.npz"):
+                p = os.path.join(self.output_folder, candidate)
+                if os.path.isfile(p):
+                    self.print_to_log_file(f"resuming from {candidate}")
+                    self.load_checkpoint(p)
+                    break
+
+        unpack_dataset(self.preprocessed_dataset_folder, num_processes=min(4, get_allowed_n_proc_DA()))
+        self.get_dataloaders()
+        rng = jax.random.PRNGKey(self.cfg.seed + 777)
+
+        dummy_batch = None
+        if self.cfg.benchmark_no_dataloading:
+            cm = self.configuration_manager
+            num_in = determine_num_input_channels(self.plans_manager, cm, self.dataset_json)
+            sample_patch = self.initial_patch_size if self.cfg.do_data_augmentation else tuple(cm.patch_size)
+            dummy_batch = {
+                "data": np.random.rand(cm.batch_size, *sample_patch, num_in).astype(np.float32),
+                "seg": np.random.randint(
+                    0, max(2, len(self.label_manager.all_labels)),
+                    (cm.batch_size, *sample_patch, 1)).astype(np.int16),
+            }
+
+        train_iter = iter(self.loader_train)
+        val_iter = iter(self.loader_val)
+        try:
+            for epoch in range(self.current_epoch, self.cfg.num_epochs):
+                self.current_epoch = epoch
+                t0 = time.time()
+                self.logger.log("epoch_start_timestamps", t0, epoch)
+                self.logger.log("lrs", float(self._lr_schedule(self.step_counter)), epoch)
+
+                train_losses = []
+                for _ in range(self.cfg.num_iterations_per_epoch):
+                    batch = dummy_batch if dummy_batch is not None else next(train_iter)
+                    rng, sub = jax.random.split(rng)
+                    self.params, self.opt_state, loss = self._train_step(
+                        self.params, self.opt_state, sub,
+                        jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]),
+                    )
+                    self.step_counter += 1
+                    train_losses.append(loss)
+                train_loss = float(np.mean(jax.device_get(train_losses)))
+                self.logger.log("train_losses", train_loss, epoch)
+
+                if self.cfg.num_val_iterations_per_epoch > 0:
+                    val_losses, tps, fps, fns = [], [], [], []
+                    for _ in range(self.cfg.num_val_iterations_per_epoch):
+                        batch = dummy_batch if dummy_batch is not None else next(val_iter)
+                        rng, sub = jax.random.split(rng)
+                        loss, tp, fp, fn = self._val_step(
+                            self.params, sub, jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]))
+                        val_losses.append(loss)
+                        tps.append(tp); fps.append(fp); fns.append(fn)
+                    val_loss = float(np.mean(jax.device_get(val_losses)))
+                    tp = np.sum(jax.device_get(tps), 0)
+                    fp = np.sum(jax.device_get(fps), 0)
+                    fn = np.sum(jax.device_get(fns), 0)
+                    dice_per_class = [
+                        float(2 * i / (2 * i + j + k)) if (2 * i + j + k) > 0 else 0.0
+                        for i, j, k in zip(tp, fp, fn)
+                    ]
+                    mean_fg_dice = float(np.nanmean(dice_per_class))
+                    self.logger.log("val_losses", val_loss, epoch)
+                    self.logger.log("dice_per_class_or_region", dice_per_class, epoch)
+                    self.logger.log("mean_fg_dice", mean_fg_dice, epoch)
+                self.on_epoch_end(epoch)
+        finally:
+            self.loader_train.stop()
+            self.loader_val.stop()
+
+        self.save_checkpoint("checkpoint_final.npz")
+        latest = os.path.join(self.output_folder, "checkpoint_latest.npz")
+        if os.path.isfile(latest):
+            os.remove(latest)
+        if self.cfg.benchmark:
+            self._write_benchmark_result()
+
+    def on_epoch_end(self, epoch: int):
+        t1 = time.time()
+        self.logger.log("epoch_end_timestamps", t1, epoch)
+        lg = self.logger.logging
+        dur = t1 - lg["epoch_start_timestamps"][epoch]
+        self._epoch_times.append(dur)
+        def _get(key):
+            lst = lg[key]
+            return lst[epoch] if len(lst) > epoch else None
+
+        msg = f"epoch {epoch}: train_loss {lg['train_losses'][epoch]:.4f}"
+        if _get("val_losses") is not None:
+            msg += f" val_loss {_get('val_losses'):.4f}"
+        if _get("ema_fg_dice") is not None:
+            msg += f" ema_fg_dice {_get('ema_fg_dice'):.4f}"
+        msg += f" time {dur:.2f}s"
+        self.print_to_log_file(msg)
+
+        if (epoch + 1) % self.cfg.save_every == 0 and epoch != self.cfg.num_epochs - 1:
+            self.save_checkpoint("checkpoint_latest.npz")
+        ema = lg["ema_fg_dice"][epoch] if lg["ema_fg_dice"] and len(lg["ema_fg_dice"]) > epoch else None
+        if ema is not None and (self._best_ema is None or ema > self._best_ema):
+            self._best_ema = ema
+            self.print_to_log_file(f"new best EMA pseudo Dice: {ema:.4f}")
+            self.save_checkpoint("checkpoint_best.npz")
+        try:
+            self.logger.plot_progress_png(self.output_folder)
+        except Exception:
+            pass
+
+    def _write_benchmark_result(self):
+        """Reference nnUNetTrainerBenchmark_5epochs: fastest epoch ->
+        benchmark_result.json keyed by software/hardware fingerprint."""
+        fastest = float(np.min(self._epoch_times)) if self._epoch_times else None
+        out_file = os.path.join(self.output_folder, "benchmark_result.json")
+        entry = {
+            "jax_version": jax.__version__,
+            "device": str(jax.devices()[0]),
+            "num_devices": self.n_shards,
+            "fastest_epoch": fastest,
+            "trainer": self.cfg.name,
+        }
+        key = f"{jax.__version__}__{str(jax.devices()[0]).replace(' ', '_')}"
+        existing = {}
+        if os.path.isfile(out_file):
+            existing = load_json(out_file)
+        existing[key] = entry
+        save_json(existing, out_file)
+
+    # --- final validation -----------------------------------------------------
+    def perform_actual_validation(self, save_probabilities: bool = False):
+        from anatomask_tpu.inference.predictor import Predictor
+        from anatomask_tpu.inference.export import export_prediction_from_logits, resample_and_save
+        from anatomask_tpu.evaluation.metrics import compute_metrics_on_folder
+
+        predictor = Predictor(
+            tile_step_size=0.5, use_gaussian=True,
+            use_mirroring=self.inference_allowed_mirroring_axes is not None,
+            verbose=False,
+        )
+        # rebuild the network without deep supervision for inference
+        cm = self.configuration_manager
+        num_in = determine_num_input_channels(self.plans_manager, cm, self.dataset_json)
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        net_no_ds = build_network_from_plans(
+            self.plans_manager, cm, num_in, self.label_manager.num_segmentation_heads,
+            arch_name=self.cfg.arch_name, deep_supervision=False, dtype=dtype,
+        )
+        predictor.manual_initialization(
+            net_no_ds, self.plans_manager, cm, [self.params],
+            self.dataset_json, self.inference_allowed_mirroring_axes,
+        )
+        validation_output_folder = os.path.join(self.output_folder, "validation")
+        os.makedirs(validation_output_folder, exist_ok=True)
+        _, val_keys = self.do_split()
+        dataset_val = CaseDataset(self.preprocessed_dataset_folder, val_keys)
+
+        next_stages = cm.next_stage_names
+        for k in val_keys:
+            data, seg, properties = dataset_val.load_case(k)
+            data = np.asarray(data)
+            logits = predictor.predict_sliding_window_return_logits(data)
+            export_prediction_from_logits(
+                logits, properties, cm, self.plans_manager, self.dataset_json,
+                os.path.join(validation_output_folder, k), save_probabilities,
+            )
+            if next_stages is not None:
+                for ns in next_stages:
+                    next_cm = self.plans_manager.get_configuration(ns)
+                    pp_next = os.path.join(self.preprocessed_dataset_folder_base, next_cm.data_identifier)
+                    try:
+                        tgt_shape = np.load(os.path.join(pp_next, k + ".npz"))["data"].shape[1:]
+                    except FileNotFoundError:
+                        continue
+                    out_dir = os.path.join(self.output_folder_base, "predicted_next_stage", ns)
+                    os.makedirs(out_dir, exist_ok=True)
+                    resample_and_save(
+                        logits, tgt_shape, os.path.join(out_dir, k + ".npz"),
+                        self.plans_manager, cm, properties, self.dataset_json,
+                    )
+
+        gt_folder = os.path.join(self.preprocessed_dataset_folder_base, "gt_segmentations")
+        if not os.path.isdir(gt_folder):
+            gt_folder = os.path.join(
+                require("raw"), self.plans_manager.dataset_name, "labelsTr")
+        metrics = compute_metrics_on_folder(
+            gt_folder, validation_output_folder,
+            os.path.join(validation_output_folder, "summary.json"),
+            self.plans_manager.image_reader_writer_class(),
+            self.dataset_json["file_ending"],
+            self.label_manager.foreground_regions if self.label_manager.has_regions
+            else self.label_manager.foreground_labels,
+            self.label_manager.ignore_label,
+        )
+        self.print_to_log_file("Validation complete. Mean Dice:", metrics["foreground_mean"]["Dice"])
+        return metrics
+
+
+# --- optax state (de)serialization helpers ------------------------------------
+
+def optax_state_to_pytree(opt_state):
+    """Flatten an optax state into a plain nested structure of arrays."""
+    leaves, _ = jax.tree_util.tree_flatten(opt_state)
+    return {"__leaves__": list(leaves)}
+
+
+def pytree_to_optax_state(template_state, saved):
+    leaves = saved["__leaves__"]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    if len(leaves) != len(t_leaves):
+        return template_state  # structure changed; keep fresh state
+    leaves = [jnp.asarray(l).astype(t.dtype) if hasattr(t, "dtype") else l
+              for l, t in zip(leaves, t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

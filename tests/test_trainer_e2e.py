@@ -1,0 +1,131 @@
+"""End-to-end: synthetic dataset -> fingerprint -> plan -> preprocess -> train
+(tiny net, 2 epochs) -> checkpoint/resume -> final validation -> metrics.
+Mirrors the reference's integration-test philosophy (SURVEY.md §4) but actually
+asserts outcomes."""
+import os
+
+import numpy as np
+import pytest
+
+from synthetic import make_synthetic_dataset, setup_env
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    raw, pp, res = setup_env(tmp_path)
+    make_synthetic_dataset(raw, "Dataset903_E2E", num_cases=6, shape=(22, 24, 26))
+
+    from anatomask_tpu.planning.fingerprint import DatasetFingerprintExtractor
+    from anatomask_tpu.planning.planner import ExperimentPlanner
+    from anatomask_tpu.preprocessing.preprocessor import DefaultPreprocessor
+    from anatomask_tpu.plans.plans_handler import load_json, save_json
+
+    DatasetFingerprintExtractor("Dataset903_E2E", num_processes=1).run()
+    ExperimentPlanner("Dataset903_E2E").plan_experiment()
+    DefaultPreprocessor().run("Dataset903_E2E", "3d_fullres", "ATKPlans", num_processes=1)
+
+    # tiny configuration that reuses the 3d_fullres preprocessed data
+    plans_file = os.path.join(pp, "Dataset903_E2E", "ATKPlans.json")
+    plans = load_json(plans_file)
+    fullres = plans["configurations"]["3d_fullres"]
+    plans["configurations"]["tiny"] = {
+        "inherits_from": "3d_fullres",
+        "data_identifier": fullres["data_identifier"],
+        "patch_size": [16, 16, 16],
+        "batch_size": 2,
+        "UNet_base_num_features": 4,
+        "unet_max_num_features": 8,
+        "pool_op_kernel_sizes": [[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+        "conv_kernel_sizes": [[3, 3, 3]] * 3,
+        "n_conv_per_stage_encoder": [1, 1, 1],
+        "n_conv_per_stage_decoder": [1, 1],
+        "num_pool_per_axis": [2, 2, 2],
+        "batch_dice": True,
+    }
+    save_json(plans, plans_file, sort_keys=False)
+
+    from dataclasses import replace
+    from anatomask_tpu.training.trainer import Trainer, TrainerConfig
+
+    cfg = TrainerConfig(
+        name="ATKTrainerTest", num_epochs=2, num_iterations_per_epoch=3,
+        num_val_iterations_per_epoch=2, compute_dtype="float32",
+        num_workers=1, save_every=1, initial_lr=1e-2,
+    )
+    dataset_json = load_json(os.path.join(pp, "Dataset903_E2E", "dataset.json"))
+    trainer = Trainer(plans_file, "tiny", 0, dataset_json, cfg)
+    trainer.run_training()
+    return trainer, tmp_path
+
+
+def test_training_produces_checkpoints_and_logs(trained):
+    trainer, _ = trained
+    out = trainer.output_folder
+    assert os.path.isfile(os.path.join(out, "checkpoint_final.npz"))
+    assert os.path.isfile(os.path.join(out, "checkpoint_best.npz"))
+    lg = trainer.logger.logging
+    assert len(lg["train_losses"]) == 2
+    assert all(np.isfinite(v) for v in lg["train_losses"])
+    assert lg["ema_fg_dice"][-1] is not None
+    assert os.path.isfile(os.path.join(out, "debug.json"))
+    assert os.path.isfile(os.path.join(out, "progress.png"))
+
+
+def test_splits_file_created(trained):
+    trainer, _ = trained
+    splits_file = os.path.join(trainer.preprocessed_dataset_folder_base, "splits_final.json")
+    assert os.path.isfile(splits_file)
+    from anatomask_tpu.plans.plans_handler import load_json
+    splits = load_json(splits_file)
+    assert len(splits) == 5
+    assert set(splits[0]["train"]) | set(splits[0]["val"]) == {
+        f"case_{i:03d}" for i in range(6)
+    }
+    assert not set(splits[0]["train"]) & set(splits[0]["val"])
+
+
+def test_checkpoint_resume(trained):
+    trainer, _ = trained
+    from anatomask_tpu.training.trainer import Trainer, TrainerConfig
+    from anatomask_tpu.plans.plans_handler import load_json
+
+    cfg = trainer.cfg
+    t2 = Trainer(
+        trainer.plans_manager.plans, "tiny", 0, trainer.dataset_json, cfg,
+        output_folder=trainer.output_folder_base,
+    )
+    t2.initialize()
+    t2.load_checkpoint("checkpoint_final.npz")
+    assert t2.current_epoch == 2
+    # weights survive the round trip
+    import jax
+    a = jax.tree_util.tree_leaves(trainer.params)
+    b = jax.tree_util.tree_leaves(t2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_actual_validation_runs(trained):
+    trainer, _ = trained
+    metrics = trainer.perform_actual_validation()
+    assert "foreground_mean" in metrics
+    assert "Dice" in metrics["foreground_mean"]
+    val_dir = os.path.join(trainer.output_folder, "validation")
+    assert os.path.isfile(os.path.join(val_dir, "summary.json"))
+    ending = trainer.dataset_json["file_ending"]
+    preds = [f for f in os.listdir(val_dir) if f.endswith(ending)]
+    assert len(preds) == len(trainer.do_split()[1])
+
+
+def test_benchmark_result_written(trained):
+    trainer, tmp_path = trained
+    from dataclasses import replace
+    from anatomask_tpu.training.trainer import Trainer
+    cfg = replace(trainer.cfg, name="ATKTrainerBench", benchmark=True,
+                  benchmark_no_dataloading=True, num_epochs=1,
+                  num_iterations_per_epoch=2, num_val_iterations_per_epoch=0)
+    t = Trainer(trainer.plans_manager.plans, "tiny", 1, trainer.dataset_json, cfg,
+                output_folder=os.path.join(str(tmp_path), "bench_out"))
+    t.run_training()
+    assert os.path.isfile(os.path.join(t.output_folder, "benchmark_result.json"))
