@@ -1,0 +1,183 @@
+"""Dense reconstruction decoders for MIM pretraining.
+
+Capability parity: /root/reference/nnunetv2/training/nnUNetTrainer/variants/
+pretrain/decoder3D.py — UNetBlock (:13) = ConvTranspose(k4,s2,p1) + 2x
+(conv3-norm-ReLU6); LightDecoder (:32) with width-halving channels, additive
+skip injection x = x + to_dec[i] per stage, final 1x1 projection; DSDecoder
+(:87) adds per-stage deep-supervision heads; SMiMDecoder (:138) /
+SMiMTwoDecoder (:188) are the SimMIM-style single/two-shot upsampling ablation
+decoders. Norm selectable BN/IN (SyncBN == BN under a sharded global batch).
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anatomask_tpu.models.layers import InstanceNorm
+
+
+def _trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class _BatchNorm(nn.Module):
+    """Training-mode batch norm (batch+spatial stats). Under the sharded global
+    batch this is SyncBN for free."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = xf.mean((0, 1, 2, 3), keepdims=True)
+        var = xf.var((0, 1, 2, 3), keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def _make_norm(kind: str, name: str, dtype, param_dtype):
+    if kind == "in":
+        return InstanceNorm(name=name, dtype=dtype, param_dtype=param_dtype)
+    return _BatchNorm(name=name, dtype=dtype, param_dtype=param_dtype)
+
+
+class ConvTranspose2x(nn.Module):
+    """ConvTranspose(k=4, s=2, p=1) with exact torch semantics: out = 2*in.
+    (torch crops 1 from each side of the full-output transpose.)"""
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.ConvTranspose(
+            features=self.features, kernel_size=(4, 4, 4), strides=(2, 2, 2),
+            padding="VALID", dtype=self.dtype,
+            param_dtype=self.param_dtype, kernel_init=_trunc_normal_init(),
+            name="conv",
+        )(x)
+        # full transpose output is 2*in + 2; torch's padding=1 crops one voxel
+        # from each side -> out = 2*in
+        return y[:, 1:-1, 1:-1, 1:-1, :]
+
+
+class UNetBlock(nn.Module):
+    features_out: int
+    norm: str = "in"
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        cin = x.shape[-1]
+        x = ConvTranspose2x(cin, name="up_sample", **dd)(x)
+        x = nn.Conv(cin, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                    kernel_init=_trunc_normal_init(), name="conv0", **dd)(x)
+        x = _make_norm(self.norm, "norm0", self.dtype, self.param_dtype)(x)
+        x = jnp.clip(nn.relu(x), 0, 6)  # ReLU6
+        x = nn.Conv(self.features_out, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
+                    kernel_init=_trunc_normal_init(), name="conv1", **dd)(x)
+        x = _make_norm(self.norm, "norm1", self.dtype, self.param_dtype)(x)
+        return x
+
+
+class LightDecoder(nn.Module):
+    up_sample_ratio: int
+    width: int = 768
+    norm: str = "in"
+    out_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, to_dec: List[Optional[jnp.ndarray]]):
+        assert self.up_sample_ratio & (self.up_sample_ratio - 1) == 0, "ratio must be 2^n"
+        n = round(math.log2(self.up_sample_ratio))
+        channels = [self.width // 2 ** i for i in range(n + 1)]
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        Block = nn.remat(UNetBlock) if self.remat else UNetBlock
+        x = 0.0
+        for i in range(n):
+            if i < len(to_dec) and to_dec[i] is not None:
+                x = x + to_dec[i]
+            x = Block(channels[i + 1], norm=self.norm, name=f"dec{i}", **dd)(x)
+        return nn.Conv(self.out_channels, (1, 1, 1), use_bias=True,
+                       kernel_init=_trunc_normal_init(), name="proj", **dd)(x)
+
+
+class DSDecoder(nn.Module):
+    """LightDecoder with per-stage deep-supervision reconstruction heads
+    (reference DSDecoder :87)."""
+    up_sample_ratio: int
+    width: int = 768
+    norm: str = "in"
+    out_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, to_dec: List[Optional[jnp.ndarray]]):
+        n = round(math.log2(self.up_sample_ratio))
+        channels = [self.width // 2 ** i for i in range(n + 1)]
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        x = 0.0
+        outs = []
+        for i in range(n):
+            if i < len(to_dec) and to_dec[i] is not None:
+                x = x + to_dec[i]
+            x = UNetBlock(channels[i + 1], norm=self.norm, name=f"dec{i}", **dd)(x)
+            outs.append(nn.Conv(self.out_channels, (1, 1, 1), name=f"ds_proj{i}", **dd)(x))
+        return outs
+
+
+class SMiMDecoder(nn.Module):
+    """SimMIM-style single-shot decoder (reference SMiMDecoder :138): one
+    transposed conv from the coarsest feature straight to full resolution."""
+    up_sample_ratio: int
+    width: int = 768
+    out_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, to_dec: List[Optional[jnp.ndarray]]):
+        x = to_dec[0]
+        r = self.up_sample_ratio
+        x = nn.ConvTranspose(self.width // 2, kernel_size=(2 * r,) * 3, strides=(r,) * 3,
+                             padding=((r // 2, r // 2),) * 3, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="up")(x)
+        x = nn.gelu(x)
+        return nn.Conv(self.out_channels, (1, 1, 1), name="proj", dtype=self.dtype,
+                       param_dtype=self.param_dtype)(x)
+
+
+class SMiMTwoDecoder(nn.Module):
+    """Two-stage SimMIM decoder (reference SMiMTwoDecoder :188)."""
+    up_sample_ratio: int
+    width: int = 768
+    out_channels: int = 1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, to_dec: List[Optional[jnp.ndarray]]):
+        x = to_dec[0]
+        r = int(round(self.up_sample_ratio ** 0.5))
+        for i in range(2):
+            x = nn.ConvTranspose(max(self.width // (2 ** (i + 1)), 16),
+                                 kernel_size=(2 * r,) * 3, strides=(r,) * 3,
+                                 padding=((r // 2, r // 2),) * 3, dtype=self.dtype,
+                                 param_dtype=self.param_dtype, name=f"up{i}")(x)
+            x = nn.gelu(x)
+        return nn.Conv(self.out_channels, (1, 1, 1), name="proj", dtype=self.dtype,
+                       param_dtype=self.param_dtype)(x)
