@@ -146,11 +146,11 @@ def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
     ax = jax.random.uniform(ks[0], (batch,), minval=cfg.rotation_x[0], maxval=cfg.rotation_x[1])
     ay = jax.random.uniform(ks[1], (batch,), minval=cfg.rotation_y[0], maxval=cfg.rotation_y[1])
     az = jax.random.uniform(ks[2], (batch,), minval=cfg.rotation_z[0], maxval=cfg.rotation_z[1])
-    do_rot = jax.random.bernoulli(ks[3], cfg.p_rotation, (batch,))
+    do_rot = jax.random.bernoulli(ks[3], float(cfg.p_rotation), (batch,))
     ax, ay, az = (jnp.where(do_rot, a, 0.0) for a in (ax, ay, az))
 
     sc = jax.random.uniform(ks[4], (batch,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
-    sc = jnp.where(jax.random.bernoulli(ks[5], cfg.p_scaling, (batch,)), sc, 1.0)
+    sc = jnp.where(jax.random.bernoulli(ks[5], float(cfg.p_scaling), (batch,)), sc, 1.0)
 
     cx, sx = jnp.cos(ax), jnp.sin(ax)
     cy, sy = jnp.cos(ay), jnp.sin(ay)
@@ -224,7 +224,7 @@ def gaussian_noise(x, rng, cfg: IntensityAugmentConfig):
     var = jax.random.uniform(k1, (x.shape[0],), minval=cfg.noise_variance[0],
                              maxval=cfg.noise_variance[1])
     noise = jax.random.normal(k2, x.shape) * jnp.sqrt(var).reshape(-1, 1, 1, 1, 1)
-    return _per_sample_where(jax.random.bernoulli(k3, cfg.p_noise, (x.shape[0],)), x + noise, x)
+    return _per_sample_where(jax.random.bernoulli(k3, float(cfg.p_noise), (x.shape[0],)), x + noise, x)
 
 
 def _gaussian_kernel1d(sigma, radius: int = 4):
@@ -252,8 +252,8 @@ def gaussian_blur(x, rng, cfg: IntensityAugmentConfig):
     sigmas = jax.random.uniform(k1, (b, c), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
     blurred = jax.vmap(jax.vmap(_blur_volume, in_axes=(-1, 0), out_axes=-1))(x, sigmas)
     apply = (
-        jax.random.bernoulli(k2, cfg.p_blur, (b, 1))
-        & jax.random.bernoulli(k3, cfg.p_blur_per_channel, (b, c))
+        jax.random.bernoulli(k2, float(cfg.p_blur), (b, 1))
+        & jax.random.bernoulli(k3, float(cfg.p_blur_per_channel), (b, c))
     )
     return _per_channel_where(apply, blurred, x)
 
@@ -264,7 +264,7 @@ def brightness_multiplicative(x, rng, cfg: IntensityAugmentConfig):
     mult = jax.random.uniform(k1, (b, c), minval=cfg.brightness_range[0],
                               maxval=cfg.brightness_range[1])
     out = x * mult[:, None, None, None, :]
-    return _per_sample_where(jax.random.bernoulli(k2, cfg.p_brightness, (b,)), out, x)
+    return _per_sample_where(jax.random.bernoulli(k2, float(cfg.p_brightness), (b,)), out, x)
 
 
 def contrast(x, rng, cfg: IntensityAugmentConfig):
@@ -279,7 +279,7 @@ def contrast(x, rng, cfg: IntensityAugmentConfig):
     mean = x.mean(axes, keepdims=True)
     out = (x - mean) * factor[:, None, None, None, :] + mean
     out = jnp.clip(out, mn, mx)
-    return _per_sample_where(jax.random.bernoulli(k2, cfg.p_contrast, (b,)), out, x)
+    return _per_sample_where(jax.random.bernoulli(k2, float(cfg.p_contrast), (b,)), out, x)
 
 
 def _lowres_volume(vol, zoom, ignore_axis0: bool):
@@ -312,8 +312,8 @@ def simulate_lowres(x, rng, cfg: IntensityAugmentConfig):
         in_axes=(-1, 0), out_axes=-1,
     ))(x, zooms)
     apply = (
-        jax.random.bernoulli(k2, cfg.p_lowres, (b, 1))
-        & jax.random.bernoulli(k3, cfg.p_lowres_per_channel, (b, c))
+        jax.random.bernoulli(k2, float(cfg.p_lowres), (b, 1))
+        & jax.random.bernoulli(k3, float(cfg.p_lowres_per_channel), (b, c))
     )
     return _per_channel_where(apply, low, x)
 
@@ -323,7 +323,7 @@ def _gamma_once(x, rng, p: float, invert: bool, cfg: IntensityAugmentConfig):
     (half the draws in (lo, 1), half in (1, hi))."""
     b, c = x.shape[0], x.shape[-1]
     k1, k2, k3 = jax.random.split(rng, 3)
-    lo_side = jax.random.bernoulli(k1, 0.5, (b, c))
+    lo_side = jax.random.bernoulli(k1, float(0.5), (b, c))
     u = jax.random.uniform(k2, (b, c))
     g_lo = cfg.gamma_range[0] + u * (1 - cfg.gamma_range[0])
     g_hi = 1 + u * (cfg.gamma_range[1] - 1)
@@ -339,12 +339,12 @@ def _gamma_once(x, rng, p: float, invert: bool, cfg: IntensityAugmentConfig):
     # retain stats
     yt = (yt - yt.mean(axes, keepdims=True)) / (yt.std(axes, keepdims=True) + 1e-8) * sd + mean
     yt = -yt if invert else yt
-    return _per_sample_where(jax.random.bernoulli(k3, p, (b,)), yt, x)
+    return _per_sample_where(jax.random.bernoulli(k3, float(p), (b,)), yt, x)
 
 
 def mirror(data, seg, rng, mirror_axes: Sequence[int]):
     b = data.shape[0]
-    flags = jax.random.bernoulli(rng, 0.5, (b, len(mirror_axes)))
+    flags = jax.random.bernoulli(rng, float(0.5), (b, len(mirror_axes)))
     for i, ax in enumerate(mirror_axes):
         f = flags[:, i].reshape(-1, 1, 1, 1, 1)
         data = jnp.where(f, jnp.flip(data, ax + 1), data)

@@ -1,0 +1,475 @@
+"""MIM pretraining drivers: SparK (random mask) and AnatoMask (teacher-guided).
+
+Capability parity: /root/reference/nnunetv2/training/nnUNetTrainer/variants/
+pretrain/pretrain.py (SparK driver: STUNet head -> SparseEncoder ->
+LightDecoder -> SparK(mask_ratio .6, densify 'in'); nnU-Net data pipeline with
+oversample 0.33; spatial-only augmentation; AdamW + no-decay groups;
+LinearWarmupCosine(warmup 20); grad-clip 12; NaN abort; per-epoch val loss;
+best/latest checkpoints; progress plot) and pretrain_AntoMask.py (teacher-
+student: EMA decay 0.999->0.9999 over the first quarter; per step random mask
+-> teacher reconstructs -> per-patch loss -> generate_mask(guide, epoch) ->
+student forward/backward on the hard mask -> EMA update; epoch-EMA loss
+tracking alpha=0.9). DDP variants (pretrain_DDP.py, pretrain_AnatoMask_DDP.py)
+correspond to running the same jitted step over a data mesh.
+
+TPU redesign: the reference does TWO sequential device forwards + one backward
+per step with a CPU round-trip for mask generation (SURVEY.md §3.2); here
+teacher forward, guided mask generation, student forward/backward, optimizer
+update and EMA update are ONE jitted SPMD program — no host sync inside the
+step. The edit-the-file constant blocks of the reference scripts become the
+PretrainConfig dataclass.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field, replace
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from anatomask_tpu.configuration import get_allowed_n_proc_DA
+from anatomask_tpu.data.augment import (
+    AugmentConfig,
+    IntensityAugmentConfig,
+    SpatialAugmentConfig,
+    make_train_augment_fn,
+    rotation_ranges_and_initial_patch_size,
+)
+from anatomask_tpu.data.dataset import CaseDataset, unpack_dataset
+from anatomask_tpu.data.pipeline import PrefetchPipeline
+from anatomask_tpu.data.sampler import PatchSampler
+from anatomask_tpu.paths import require
+from anatomask_tpu.plans.plans_handler import PlansManager, load_json, save_json
+from anatomask_tpu.ssl.anatomask import generate_guided_mask, guided_keep_ratio
+from anatomask_tpu.ssl.decoder import LightDecoder
+from anatomask_tpu.ssl.ema import ema_decay_schedule, ema_update
+from anatomask_tpu.ssl.spark import SparK, spark_loss
+from anatomask_tpu.ssl.sparse import SparseSTUNetEncoder
+from anatomask_tpu.training import checkpoint as ckpt_lib
+from anatomask_tpu.training.schedules import linear_warmup_cosine_schedule
+from anatomask_tpu.training.trainer import pick_mesh_for_batch
+
+_STUNET_WIDTHS = {"S": 16, "B": 32, "L": 64, "H": 96}
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """Replaces the reference scripts' edit-me constant blocks
+    (pretrain_AntoMask.py:181-243)."""
+    method: str = "anatomask"            # "spark" (random mask) | "anatomask"
+    model_size: str = "B"                # STUNet S/B/L/H encoder head
+    patch_size: Tuple[int, int, int] = (112, 112, 128)
+    batch_size: int = 4
+    mask_ratio: float = 0.6
+    densify_norm: str = "in"
+    decoder_width: Optional[int] = None  # default: encoder top width
+    num_epochs: int = 1000
+    iters_per_epoch: Optional[int] = None  # default floor(n_train / batch)
+    lr: float = 1e-4                     # spark driver uses 2e-4
+    weight_decay: float = 1e-5
+    warmup_epochs: int = 20
+    grad_clip: float = 12.0
+    oversample_foreground_percent: float = 0.33
+    val_fraction: float = 0.15           # train_test_split(test_size=.15, seed 42)
+    ema_decay_start: float = 0.999
+    ema_decay_end: float = 0.9999
+    guide: bool = True                   # easy-to-hard curriculum
+    compute_dtype: str = "bfloat16"
+    num_workers: Optional[int] = None
+    seed: int = 42
+    save_every: int = 1
+    remat: bool = False                  # gradient checkpointing (GC.py parity)
+    # override the encoder topology (None -> STUNet head presets; used for
+    # small-scale tests and research variants)
+    encoder_dims: Optional[Tuple[int, ...]] = None
+    encoder_depth: Optional[Tuple[int, ...]] = None
+
+
+def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
+    mult = _STUNET_WIDTHS[cfg.model_size.upper()]
+    dims = list(cfg.encoder_dims) if cfg.encoder_dims else [mult * x for x in (1, 2, 4, 8, 16)]
+    depth_map = {"S": 1, "B": 1, "L": 2, "H": 3}
+    depth = (tuple(cfg.encoder_depth) if cfg.encoder_depth
+             else (depth_map[cfg.model_size.upper()],) * len(dims))
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    remat = cfg.remat or cfg.model_size.upper() == "H"
+    enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat)
+    dec_width = cfg.decoder_width or dims[-1]
+    dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width, norm="in",
+                       out_channels=in_channels, dtype=dtype, remat=remat)
+    return SparK(
+        sparse_encoder=enc, dense_decoder=dec, input_size=tuple(cfg.patch_size),
+        mask_ratio=cfg.mask_ratio, densify_norm=cfg.densify_norm, dtype=dtype,
+    )
+
+
+def no_decay_mask(params) -> Any:
+    """True = apply weight decay. The reference excludes 1-D params, biases,
+    mask tokens and norm gammas (utils/lr_control.py:32-53)."""
+    def decide(path, leaf):
+        name = "/".join(str(p.key) for p in path if hasattr(p, "key"))
+        if "mask_token" in name or "bias" in name or "scale" in name:
+            return False
+        return np.ndim(leaf) > 1
+    return jax.tree_util.tree_map_with_path(decide, params)
+
+
+class PretrainTrainer:
+    def __init__(
+        self,
+        dataset_name_or_id,
+        config: PretrainConfig = PretrainConfig(),
+        plans_identifier: str = "ATKPlans",
+        configuration: str = "3d_fullres",
+        fold: int = 0,
+        output_folder: Optional[str] = None,
+    ):
+        from anatomask_tpu.utils.helpers import maybe_convert_to_dataset_name
+        self.cfg = config
+        self.dataset_name = maybe_convert_to_dataset_name(dataset_name_or_id)
+        pp_base = os.path.join(require("preprocessed"), self.dataset_name)
+        self.plans_manager = PlansManager(os.path.join(pp_base, plans_identifier + ".json"))
+        self.configuration_manager = self.plans_manager.get_configuration(configuration)
+        self.dataset_json = load_json(os.path.join(pp_base, "dataset.json"))
+        self.preprocessed_folder = os.path.join(pp_base, self.configuration_manager.data_identifier)
+        self.fold = fold
+        self.output_folder = output_folder or os.path.join(
+            require("results"), self.dataset_name,
+            f"pretrain_{config.method}_{config.model_size}",
+        )
+        os.makedirs(self.output_folder, exist_ok=True)
+        self.label_manager = self.plans_manager.get_label_manager(self.dataset_json)
+        self.num_input_channels = len(
+            self.dataset_json.get("channel_names", self.dataset_json.get("modality")))
+        self.model = build_spark_model(config, self.num_input_channels)
+        self.current_epoch = 0
+        self._log: List[str] = []
+
+    def print_to_log_file(self, *args):
+        line = " ".join(str(a) for a in args)
+        print(line, flush=True)
+        with open(os.path.join(self.output_folder, "pretrain_log.txt"), "a") as f:
+            f.write(line + "\n")
+
+    # --- data -----------------------------------------------------------------
+    def _split_keys(self) -> Tuple[List[str], List[str]]:
+        """Fold train keys, then an internal train/val split (reference
+        train_test_split(test_size=0.15, random_state=42) on the fold's train
+        keys, pretrain.py:272)."""
+        from anatomask_tpu.training.trainer import generate_crossval_split
+        all_keys = sorted(CaseDataset(self.preprocessed_folder).keys())
+        splits_file = os.path.join(os.path.dirname(self.preprocessed_folder), "splits_final.json")
+        if os.path.isfile(splits_file):
+            splits = load_json(splits_file)
+        else:
+            splits = generate_crossval_split(all_keys, 5, seed=12345)
+            save_json(splits, splits_file)
+        tr_keys = splits[self.fold]["train"] if self.fold < len(splits) else all_keys
+        rng = np.random.RandomState(self.cfg.seed)
+        idx = rng.permutation(len(tr_keys))
+        n_val = max(1, int(round(len(tr_keys) * self.cfg.val_fraction)))
+        val = [tr_keys[i] for i in idx[:n_val]]
+        train = [tr_keys[i] for i in idx[n_val:]]
+        return train, val
+
+    def get_dataloaders(self):
+        train_keys, val_keys = self._split_keys()
+        ds_tr = CaseDataset(self.preprocessed_folder, train_keys)
+        ds_val = CaseDataset(self.preprocessed_folder, val_keys)
+        patch = tuple(self.cfg.patch_size)
+        # spatial-only augmentation (reference pretrain transforms: rotation
+        # +-30deg, scaling .7-1.4, mirroring; intensity transforms disabled)
+        rot, dummy_2d, initial_patch, mirror_axes = rotation_ranges_and_initial_patch_size(patch)
+        self.aug_config = AugmentConfig(
+            spatial=SpatialAugmentConfig(
+                patch_size=patch, rotation_x=tuple(rot["x"]), rotation_y=tuple(rot["y"]),
+                rotation_z=tuple(rot["z"]), dummy_2d=dummy_2d,
+            ),
+            intensity=IntensityAugmentConfig(
+                p_noise=0, p_blur=0, p_brightness=0, p_contrast=0, p_lowres=0,
+                p_gamma=0, p_gamma_invert=0),
+            mirror_axes=mirror_axes,
+            ds_scales=(),
+        )
+        self.val_patch = patch
+        annotated_key = tuple(self.label_manager.all_labels)
+        self.sampler_train = PatchSampler(
+            ds_tr, self.cfg.batch_size, tuple(int(i) for i in initial_patch),
+            final_patch_size=patch,
+            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            annotated_classes_key=annotated_key,
+            has_ignore=self.label_manager.has_ignore_label, seed=self.cfg.seed,
+        )
+        self.sampler_val = PatchSampler(
+            ds_val, self.cfg.batch_size, patch, final_patch_size=patch,
+            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            annotated_classes_key=annotated_key,
+            has_ignore=self.label_manager.has_ignore_label, seed=self.cfg.seed + 1,
+        )
+        n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
+            4, get_allowed_n_proc_DA())
+        self.loader_train = PrefetchPipeline(self.sampler_train, num_workers=n_workers)
+        self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=1)
+        self.n_train = len(train_keys)
+        return self.loader_train, self.loader_val
+
+    # --- initialization -------------------------------------------------------
+    def initialize(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        example = jnp.zeros((1, *cfg.patch_size, self.num_input_channels), dtype)
+        dummy_active = self.model.mask(rng, 1)
+        variables = self.model.init(rng, example, dummy_active)
+        self.params = variables["params"]
+        # distinct buffers: both params and ema are donated by the jitted step
+        self.ema_params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), self.params)
+
+        iters = cfg.iters_per_epoch or max(1, getattr(self, "n_train", 100) // cfg.batch_size)
+        self.iters_per_epoch = iters
+        total_steps = cfg.num_epochs * iters
+        self.lr_schedule = linear_warmup_cosine_schedule(
+            cfg.lr, warmup_steps=cfg.warmup_epochs * iters, total_steps=total_steps,
+            warmup_start_lr=1e-6,
+        )
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adamw(self.lr_schedule, weight_decay=cfg.weight_decay,
+                        mask=no_decay_mask(self.params)),
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.step_counter = 0
+        self._build_steps()
+
+    def _build_steps(self):
+        cfg = self.cfg
+        mesh, n_shards = pick_mesh_for_batch(cfg.batch_size)
+        self.mesh, self.n_shards = mesh, n_shards
+        repl = NamedSharding(mesh, P())
+        bsh = NamedSharding(mesh, P("data"))
+        augment_fn = make_train_augment_fn(self.aug_config)
+        model = self.model
+        optimizer = self.optimizer
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        def prep(rng, data, seg):
+            if self.aug_config.spatial.p_rotation > 0 or data.shape[1:4] != tuple(cfg.patch_size):
+                data, _ = augment_fn(rng, data, seg)
+            return data.astype(dtype)
+
+        def spark_step(params, opt_state, rng, data, seg):
+            k_aug, k_mask = jax.random.split(rng)
+            x = prep(k_aug, data, seg)
+            active = model.mask(k_mask, x.shape[0])
+
+            def loss_fn(p):
+                inp, rec = model.apply({"params": p}, x, active)
+                return spark_loss(inp, rec, active)[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, loss
+
+        def anatomask_step(params, ema_params, opt_state, rng, data, seg,
+                           ema_decay, len_loss):
+            k_aug, k_mask1, k_mask2 = jax.random.split(rng, 3)
+            x = prep(k_aug, data, seg)
+            B = x.shape[0]
+            # teacher pass under a random mask
+            mask1 = model.mask(k_mask1, B)
+            inp1, rec1 = model.apply({"params": jax.lax.stop_gradient(ema_params)}, x, mask1)
+            _, teacher_loss_map = spark_loss(inp1, rec1, mask1)
+            hard_mask, _ = generate_guided_mask(
+                k_mask2, teacher_loss_map, model.fmap, model.len_keep, len_loss)
+
+            def loss_fn(p):
+                inp, rec = model.apply({"params": p}, x, hard_mask)
+                return spark_loss(inp, rec, hard_mask)[0]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = optimizer.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_ema = ema_update(ema_params, new_params, ema_decay)
+            return new_params, new_ema, new_opt, loss
+
+        def val_step(params, rng, data, seg):
+            x = data.astype(dtype)
+            active = model.mask(rng, x.shape[0])
+            inp, rec = model.apply({"params": params}, x, active)
+            return spark_loss(inp, rec, active)[0]
+
+        if cfg.method == "spark":
+            self._spark_step = jax.jit(
+                spark_step,
+                in_shardings=(repl, repl, repl, bsh, bsh),
+                out_shardings=(repl, repl, repl), donate_argnums=(0, 1),
+            )
+        else:
+            self._anatomask_step = jax.jit(
+                anatomask_step,
+                in_shardings=(repl, repl, repl, repl, bsh, bsh, repl),
+                out_shardings=(repl, repl, repl, repl),
+                donate_argnums=(0, 1, 2),
+                static_argnums=(7,),
+            )
+        self._val_step = jax.jit(val_step, in_shardings=(repl, repl, bsh, bsh),
+                                 out_shardings=repl)
+
+    # --- checkpointing --------------------------------------------------------
+    def save_checkpoint(self, filename: str, extra_meta: Optional[dict] = None):
+        meta = {
+            "method": self.cfg.method,
+            "model_size": self.cfg.model_size,
+            "current_epoch": self.current_epoch + 1,
+            "spark_config": self.model.get_config(),
+            "pretrain_config": {k: (list(v) if isinstance(v, tuple) else v)
+                                for k, v in self.cfg.__dict__.items()},
+        }
+        meta.update(extra_meta or {})
+        arrays = {
+            "network_weights": jax.tree_util.tree_map(np.asarray, self.params),
+            "ema_weights": jax.tree_util.tree_map(np.asarray, self.ema_params),
+        }
+        from anatomask_tpu.training.trainer import optax_state_to_pytree
+        arrays["optimizer_state"] = jax.tree_util.tree_map(
+            np.asarray, optax_state_to_pytree(self.opt_state))
+        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename), arrays, meta)
+
+    def load_checkpoint(self, filename: str):
+        path = filename if os.path.isabs(filename) else os.path.join(self.output_folder, filename)
+        arrays, meta = ckpt_lib.load_checkpoint(path)
+        # verify architecture config matches (reference SparK.load_state_dict :192-204)
+        saved_cfg = meta.get("spark_config", {})
+        for k, v in self.model.get_config().items():
+            if k in saved_cfg and saved_cfg[k] != v:
+                raise AttributeError(
+                    f"SparK config mismatch on load: this.{k}={v} ckpt.{k}={saved_cfg[k]}")
+        self.params = jax.tree_util.tree_map(jnp.asarray, arrays["network_weights"])
+        if "ema_weights" in arrays:
+            self.ema_params = jax.tree_util.tree_map(jnp.asarray, arrays["ema_weights"])
+        if "optimizer_state" in arrays:
+            from anatomask_tpu.training.trainer import pytree_to_optax_state
+            self.opt_state = pytree_to_optax_state(self.opt_state, arrays["optimizer_state"])
+        self.current_epoch = meta.get("current_epoch", 0)
+
+    # --- training loop --------------------------------------------------------
+    def run_pretraining(self, continue_training: bool = False):
+        unpack_dataset(self.preprocessed_folder, num_processes=min(4, get_allowed_n_proc_DA()))
+        self.get_dataloaders()
+        self.initialize()
+        if continue_training:
+            latest = os.path.join(self.output_folder, "checkpoint_latest.npz")
+            if os.path.isfile(latest):
+                self.load_checkpoint(latest)
+                self.print_to_log_file(f"resumed at epoch {self.current_epoch}")
+
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed + 999)
+        train_iter = iter(self.loader_train)
+        val_iter = iter(self.loader_val)
+        history = {"train_loss": [], "val_loss": [], "ema_loss": []}
+        best_val = np.inf
+        ema_loss = None
+        L = int(np.prod(self.model.fmap))
+
+        try:
+            for epoch in range(self.current_epoch, cfg.num_epochs):
+                self.current_epoch = epoch
+                t0 = time.time()
+                ema_decay = ema_decay_schedule(
+                    epoch, cfg.num_epochs, cfg.ema_decay_start, cfg.ema_decay_end)
+                keep_ratio = guided_keep_ratio(epoch, cfg.num_epochs, cfg.guide)
+                len_loss = int((L - self.model.len_keep) * keep_ratio)
+
+                losses = []
+                for _ in range(self.iters_per_epoch):
+                    batch = next(train_iter)
+                    rng, sub = jax.random.split(rng)
+                    if cfg.method == "spark":
+                        self.params, self.opt_state, loss = self._spark_step(
+                            self.params, self.opt_state, sub,
+                            jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]))
+                        self.ema_params = self.params
+                    else:
+                        self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
+                            self.params, self.ema_params, self.opt_state, sub,
+                            jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]),
+                            jnp.float32(ema_decay), len_loss)
+                    self.step_counter += 1
+                    losses.append(loss)
+                train_loss = float(np.mean(jax.device_get(losses)))
+                if not np.isfinite(train_loss):
+                    raise RuntimeError(
+                        f"Non-finite pretrain loss at epoch {epoch}: {train_loss}")
+                # epoch EMA loss, alpha 0.9 (reference :456-461)
+                ema_loss = train_loss if ema_loss is None else 0.9 * ema_loss + 0.1 * train_loss
+
+                # validation loss under a fresh random mask
+                vlosses = []
+                for _ in range(max(1, self.iters_per_epoch // 5)):
+                    batch = next(val_iter)
+                    rng, sub = jax.random.split(rng)
+                    vlosses.append(self._val_step(
+                        self.params, sub, jnp.asarray(batch["data"]), jnp.asarray(batch["seg"])))
+                val_loss = float(np.mean(jax.device_get(vlosses)))
+
+                history["train_loss"].append(train_loss)
+                history["val_loss"].append(val_loss)
+                history["ema_loss"].append(ema_loss)
+                self.print_to_log_file(
+                    f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
+                    f"ema {ema_loss:.4f} keep_ratio {keep_ratio:.3f} "
+                    f"time {time.time() - t0:.1f}s")
+
+                if (epoch + 1) % cfg.save_every == 0:
+                    self.save_checkpoint(f"{cfg.model_size}_head_latest.npz")
+                    self.save_checkpoint("checkpoint_latest.npz")
+                if val_loss < best_val:
+                    best_val = val_loss
+                    self.save_checkpoint("checkpoint_best.npz", {"val_loss": val_loss})
+                self._plot_progress(history)
+        finally:
+            self.loader_train.stop()
+            self.loader_val.stop()
+        self.save_checkpoint("checkpoint_final.npz")
+        with open(os.path.join(self.output_folder, "history.json"), "w") as f:
+            json.dump(history, f)
+        return history
+
+    def _plot_progress(self, history):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            fig, ax = plt.subplots(figsize=(8, 5))
+            ax.plot(history["train_loss"], label="train")
+            ax.plot(history["val_loss"], label="val")
+            ax.plot(history["ema_loss"], label="train (EMA)")
+            ax.set_xlabel("epoch"); ax.set_ylabel("recon loss"); ax.legend()
+            fig.savefig(os.path.join(self.output_folder, "progress.png"))
+            plt.close(fig)
+        except Exception:
+            pass
+
+
+def load_ssl_encoder_into_trainer(trainer, pretrain_checkpoint: str, verbose: bool = True):
+    """Finetuning entry (reference run_finetuning_STUNet.py +
+    load_stunet_ssl_weights): load the pretrained sparse-encoder subtree into a
+    supervised Trainer's STUNet params."""
+    from anatomask_tpu.training.checkpoint import transfer_ssl_encoder_weights
+    arrays, meta = ckpt_lib.load_checkpoint(pretrain_checkpoint)
+    ssl_params = arrays.get("network_weights", arrays)
+    enc = ssl_params.get("sparse_encoder", ssl_params)
+    if trainer.params is None:
+        trainer.initialize()
+    trainer.params = jax.tree_util.tree_map(
+        jnp.asarray, transfer_ssl_encoder_weights(
+            jax.tree_util.tree_map(np.asarray, trainer.params), enc, verbose=verbose))
+    return trainer
