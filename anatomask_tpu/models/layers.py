@@ -73,13 +73,16 @@ class InstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        xf = x.astype(jnp.float32)
         axes = tuple(range(1, x.ndim - 1))
-        mean = xf.mean(axes, keepdims=True)
-        var = xf.var(axes, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-        return y.astype(self.dtype if self.dtype is not None else orig_dtype)
+        # fp32 REDUCTIONS only — never materialize an fp32 copy of the (large)
+        # activation; the normalization is applied as a bf16 affine a*x+b
+        mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean * a
+        out_dtype = self.dtype if self.dtype is not None else orig_dtype
+        return (x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype))
 
 
 def leaky_relu(x, negative_slope: float = 0.01):

@@ -36,11 +36,14 @@ class _BatchNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        xf = x.astype(jnp.float32)
-        mean = xf.mean((0, 1, 2, 3), keepdims=True)
-        var = xf.var((0, 1, 2, 3), keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(self.dtype)
+        axes = (0, 1, 2, 3)
+        # fp32 reductions, bf16 affine application (no fp32 activation copy)
+        mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean * a
+        return (x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype))
 
 
 def _make_norm(kind: str, name: str, dtype, param_dtype):

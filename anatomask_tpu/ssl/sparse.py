@@ -54,11 +54,13 @@ def mask_to_resolution(mask: jnp.ndarray, spatial_shape: Sequence[int]) -> jnp.n
 
 
 def _masked_moments(x: jnp.ndarray, m: jnp.ndarray, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Mean/var over `axes` restricted to m==1 (x fp32)."""
-    cnt = jnp.sum(m, axes, keepdims=True)
-    cnt = jnp.maximum(cnt, 1.0)
-    mean = jnp.sum(x * m, axes, keepdims=True) / cnt
-    var = jnp.sum(jnp.square(x - mean) * m, axes, keepdims=True) / cnt
+    """Mean/var over `axes` restricted to m==1. fp32 REDUCTIONS only — the
+    (potentially bf16) activation is never copied to fp32."""
+    cnt = jnp.maximum(jnp.sum(m, axes, dtype=jnp.float32, keepdims=True), 1.0)
+    mean = jnp.sum(x * m.astype(x.dtype), axes, dtype=jnp.float32, keepdims=True) / cnt
+    mean_sq = jnp.sum(jnp.square(x) * m.astype(x.dtype), axes, dtype=jnp.float32,
+                      keepdims=True) / cnt
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     return mean, var
 
 
@@ -72,16 +74,18 @@ class SparseInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, active):
-        m = mask_to_resolution(active, x.shape[1:4]).astype(jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean, var = _masked_moments(xf, m, axes=(1, 2, 3))
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        m = mask_to_resolution(active, x.shape[1:4])
+        mean, var = _masked_moments(x, m, axes=(1, 2, 3))
+        a = jax.lax.rsqrt(var + self.epsilon)
+        b = -mean * a
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-            y = y * scale + bias
-        return (y * m).astype(self.dtype)
+            a = a * scale
+            b = b * scale + bias
+        y = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
+        return y * m.astype(self.dtype)
 
 
 class SparseBatchNorm(nn.Module):
@@ -96,16 +100,18 @@ class SparseBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, active):
-        m = mask_to_resolution(active, x.shape[1:4]).astype(jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean, var = _masked_moments(xf, m, axes=(0, 1, 2, 3))
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        m = mask_to_resolution(active, x.shape[1:4])
+        mean, var = _masked_moments(x, m, axes=(0, 1, 2, 3))
+        a = jax.lax.rsqrt(var + self.epsilon)
+        b = -mean * a
         if self.affine:
             c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-            y = y * scale + bias
-        return (y * m).astype(self.dtype)
+            a = a * scale
+            b = b * scale + bias
+        y = x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)
+        return y * m.astype(self.dtype)
 
 
 class SparseGroupNorm(nn.Module):

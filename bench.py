@@ -1,0 +1,130 @@
+"""Benchmark: AnatoMask teacher-student pretraining throughput (patches/sec/chip).
+
+Workload matches the reference pretraining constants
+(/root/reference/nnunetv2/training/nnUNetTrainer/variants/pretrain/
+pretrain_AntoMask.py: STUNet-B encoder head, patch (112,112,128), batch 4,
+mask_ratio 0.6, AdamW, grad-clip 12, EMA teacher): per step ONE teacher
+forward, guided-mask generation, ONE student forward+backward, optimizer + EMA
+update — all fused into a single jitted TPU program, bf16 compute.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline divides by BASELINE_A100_PATCHES_PER_SEC — a provisional estimate
+of the reference PyTorch implementation on A100 (the repo publishes no numbers;
+see BASELINE.md). Replace with a measured value when available.
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "atk_jax_bench_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+# Provisional A100 torch reference estimate for AnatoMask pretraining at
+# bs 4 / patch (112,112,128): ~2 steps/s is optimistic for two fwd + one bwd of
+# STUNet-B enc+dec in fp16 on A100 => ~6 patches/s. Documented estimate, not a
+# measurement (BASELINE.md: "baselines must be measured").
+BASELINE_A100_PATCHES_PER_SEC = 6.0
+
+BATCH = 4
+PATCH = (112, 112, 128)
+WARMUP_STEPS = 3
+MEASURE_STEPS = 10
+
+
+def main():
+    from anatomask_tpu.ssl.anatomask import generate_guided_mask
+    from anatomask_tpu.ssl.ema import ema_update
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model, no_decay_mask
+    from anatomask_tpu.ssl.spark import spark_loss
+
+    cfg = PretrainConfig(
+        method="anatomask", model_size="B", patch_size=PATCH, batch_size=BATCH,
+        mask_ratio=0.6, compute_dtype="bfloat16", remat=True,
+    )
+    model = build_spark_model(cfg, in_channels=1)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, *PATCH, 1), jnp.bfloat16)
+    params = model.init(rng, x0, model.mask(rng, 1))["params"]
+    ema_params = jax.tree_util.tree_map(lambda v: jnp.array(v, copy=True), params)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(12.0),
+        optax.adamw(1e-4, weight_decay=1e-5, mask=no_decay_mask(params)),
+    )
+    opt_state = optimizer.init(params)
+    L = int(np.prod(model.fmap))
+    len_loss = max(1, int((L - model.len_keep) * 0.25))
+
+    # Every norm in the pretraining path is per-sample (InstanceNorm), so
+    # microbatch gradient accumulation is EXACTLY the bs-4 gradient; it halves
+    # the activation peak so the full reference workload fits 16G HBM.
+    MICRO = 2
+
+    def micro_grads(params, ema_params, rng, x):
+        k1, k2 = jax.random.split(rng)
+        mask1 = model.mask(k1, x.shape[0])
+        inp1, rec1 = model.apply({"params": jax.lax.stop_gradient(ema_params)}, x, mask1)
+        _, loss_map = spark_loss(inp1, rec1, mask1)
+        hard, _ = generate_guided_mask(k2, loss_map, model.fmap, model.len_keep, len_loss)
+
+        def loss_fn(p):
+            inp, rec = model.apply({"params": p}, x, hard)
+            return spark_loss(inp, rec, hard)[0]
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    def train_step(params, ema_params, opt_state, rng, x):
+        xs = x.reshape(MICRO, BATCH // MICRO, *x.shape[1:])
+        keys = jax.random.split(rng, MICRO)
+
+        def body(acc, xk):
+            xb, key = xk
+            loss, grads = micro_grads(params, ema_params, key, xb)
+            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
+            return acc, loss
+
+        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+        gsum, losses = jax.lax.scan(body, zero, (xs, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / MICRO, gsum)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_ema = ema_update(ema_params, new_params, 0.999)
+        return new_params, new_ema, new_opt, jnp.mean(losses)
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    data = jax.device_put(
+        jnp.asarray(np.random.rand(BATCH, *PATCH, 1), dtype=jnp.bfloat16))
+
+    for i in range(WARMUP_STEPS):
+        rng, sub = jax.random.split(rng)
+        params, ema_params, opt_state, loss = step(params, ema_params, opt_state, sub, data)
+    float(loss)  # host readback: block_until_ready does not synchronize on axon
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_STEPS):
+        rng, sub = jax.random.split(rng)
+        params, ema_params, opt_state, loss = step(params, ema_params, opt_state, sub, data)
+    final_loss = float(loss)  # forces completion of the whole chained sequence
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss), f"non-finite loss {final_loss}" 
+
+    patches_per_sec = MEASURE_STEPS * BATCH / dt
+    print(json.dumps({
+        "metric": "anatomask_pretrain_patches_per_sec_per_chip",
+        "value": round(patches_per_sec, 3),
+        "unit": "CT patches/sec/chip (STUNet-B, patch 112x112x128, bs 4, bf16)",
+        "vs_baseline": round(patches_per_sec / BASELINE_A100_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""Postprocessing, ensembling, model sharing, dataset conversion, integrity,
+plans transfer, CLI smoke tests."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from synthetic import make_synthetic_dataset, setup_env
+
+
+def test_remove_all_but_largest_component():
+    from anatomask_tpu.postprocessing.components import (
+        remove_all_but_largest_component_from_segmentation,
+    )
+    seg = np.zeros((10, 10, 10), dtype=np.uint8)
+    seg[1:4, 1:4, 1:4] = 1      # big component (27 voxels)
+    seg[7:9, 7:9, 7:9] = 1      # small component (8 voxels)
+    seg[5, 5, 5] = 2
+    out = remove_all_but_largest_component_from_segmentation(seg, [1])
+    assert (out[1:4, 1:4, 1:4] == 1).all()
+    assert (out[7:9, 7:9, 7:9] == 0).all()
+    assert out[5, 5, 5] == 2  # other labels untouched
+
+
+def test_remove_component_region():
+    from anatomask_tpu.postprocessing.components import (
+        remove_all_but_largest_component_from_segmentation,
+    )
+    seg = np.zeros((8, 8, 8), dtype=np.uint8)
+    seg[0:3, 0:3, 0:3] = 1
+    seg[5:7, 5:7, 5:7] = 2  # region (1,2): two components; (1s) is larger
+    out = remove_all_but_largest_component_from_segmentation(seg, [(1, 2)])
+    assert (out[0:3, 0:3, 0:3] == 1).all()
+    assert (out[5:7, 5:7, 5:7] == 0).all()
+
+
+def test_determine_postprocessing_keeps_helpful_step(tmp_path, rng):
+    from anatomask_tpu.postprocessing.components import determine_postprocessing
+    from anatomask_tpu.imageio.numpy_io import NumpyIO
+
+    ref_dir = tmp_path / "ref"; pred_dir = tmp_path / "pred"
+    ref_dir.mkdir(); pred_dir.mkdir()
+    for i in range(2):
+        gt = np.zeros((12, 12, 12), dtype=np.uint8)
+        gt[2:7, 2:7, 2:7] = 1
+        pred = gt.copy()
+        pred[10, 10, 10] = 1  # spurious island -> removing it helps
+        np.save(ref_dir / f"case{i}.npy", gt)
+        np.save(pred_dir / f"case{i}.npy", pred)
+    pp_fns, metrics = determine_postprocessing(
+        str(pred_dir), str(ref_dir), NumpyIO(), ".npy", [1], num_processes=1)
+    assert len(pp_fns) >= 1
+    assert metrics["foreground_mean"]["Dice"] == pytest.approx(1.0)
+    assert os.path.isfile(pred_dir / "postprocessing.json")
+
+
+def test_average_probabilities(tmp_path, rng):
+    from anatomask_tpu.ensembling.ensemble import average_probabilities
+    a = rng.rand(2, 4, 4, 4).astype(np.float32)
+    b = rng.rand(2, 4, 4, 4).astype(np.float32)
+    np.savez_compressed(tmp_path / "a.npz", probabilities=a)
+    np.savez_compressed(tmp_path / "b.npz", probabilities=b)
+    avg = average_probabilities([str(tmp_path / "a.npz"), str(tmp_path / "b.npz")])
+    np.testing.assert_allclose(avg, (a + b) / 2, atol=1e-6)
+
+
+def test_verify_dataset_integrity_ok(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    ds_dir, _ = make_synthetic_dataset(raw, "Dataset905_VI", num_cases=3)
+    from anatomask_tpu.planning.verify_integrity import verify_dataset_integrity
+    errors = verify_dataset_integrity(ds_dir, num_processes=1)
+    assert errors == []
+
+
+def test_verify_dataset_integrity_catches_bad_labels(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    ds_dir, dsj = make_synthetic_dataset(raw, "Dataset906_VI", num_cases=2)
+    # corrupt one label file with an out-of-range value
+    from anatomask_tpu.imageio.nifti import read_nifti, write_nifti
+    f = os.path.join(ds_dir, "labelsTr", "case_000.nii.gz")
+    data, hdr = read_nifti(f)
+    data = data.copy()
+    data[0, 0, 0] = 17
+    write_nifti(f, data.astype(np.uint8), header=hdr)
+    from anatomask_tpu.planning.verify_integrity import verify_dataset_integrity
+    errors = verify_dataset_integrity(ds_dir, num_processes=1)
+    assert any("unexpected label" in e for e in errors)
+
+
+def test_move_plans_between_datasets(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    make_synthetic_dataset(raw, "Dataset907_Src", num_cases=3)
+    make_synthetic_dataset(raw, "Dataset908_Tgt", num_cases=3)
+    from anatomask_tpu.planning.fingerprint import DatasetFingerprintExtractor
+    from anatomask_tpu.planning.planner import ExperimentPlanner
+    DatasetFingerprintExtractor("Dataset907_Src", 1).run()
+    ExperimentPlanner("Dataset907_Src").plan_experiment()
+    from anatomask_tpu.planning.move_plans import move_plans_between_datasets
+    out = move_plans_between_datasets("Dataset907_Src", "Dataset908_Tgt")
+    from anatomask_tpu.plans.plans_handler import load_json
+    plans = load_json(out)
+    assert plans["dataset_name"] == "Dataset908_Tgt"
+    for cfg in plans["configurations"].values():
+        if "data_identifier" in cfg:
+            assert cfg["data_identifier"].startswith("ATKPlans")
+
+
+def test_model_export_install_roundtrip(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    # fabricate a minimal trained-model folder
+    model_dir = os.path.join(res, "Dataset909_MS", "ATKTrainer__ATKPlans__3d_fullres")
+    os.makedirs(os.path.join(model_dir, "fold_0"), exist_ok=True)
+    with open(os.path.join(model_dir, "plans.json"), "w") as f:
+        json.dump({"dataset_name": "Dataset909_MS"}, f)
+    with open(os.path.join(model_dir, "dataset.json"), "w") as f:
+        json.dump({"labels": {"background": 0}}, f)
+    from anatomask_tpu.training.checkpoint import save_checkpoint
+    save_checkpoint(os.path.join(model_dir, "fold_0", "checkpoint_final.npz"),
+                    {"network_weights": {"w": np.ones(3)}}, {"trainer_name": "ATKTrainer"})
+    from anatomask_tpu.utils.model_sharing import (
+        export_pretrained_model, install_model_from_zip_file,
+    )
+    zip_path = str(tmp_path / "model.zip")
+    export_pretrained_model("Dataset909_MS", zip_path, folds=[0])
+    # install into a fresh results dir
+    os.environ["ATK_results"] = str(tmp_path / "results2")
+    from anatomask_tpu import paths
+    paths.refresh()
+    install_model_from_zip_file(zip_path)
+    assert os.path.isfile(os.path.join(
+        str(tmp_path / "results2"), "Dataset909_MS",
+        "ATKTrainer__ATKPlans__3d_fullres", "fold_0", "checkpoint_final.npz"))
+
+
+def test_generate_dataset_json(tmp_path):
+    from anatomask_tpu.dataset_conversion.generate_dataset_json import generate_dataset_json
+    d = generate_dataset_json(
+        str(tmp_path), {"0": "CT"}, {"background": 0, "organ": (1, 2), "tumor": 2},
+        10, ".nii.gz", regions_class_order=(1, 2))
+    assert os.path.isfile(tmp_path / "dataset.json")
+    assert d["labels"]["organ"] == [1, 2]
+
+
+def test_integration_test_datasets(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    from anatomask_tpu.dataset_conversion.integration_test_datasets import (
+        generate_integration_test_dataset,
+    )
+    out = generate_integration_test_dataset(997, "regions", num_cases=2)
+    from anatomask_tpu.plans.plans_handler import load_json
+    dsj = load_json(os.path.join(out, "dataset.json"))
+    assert dsj["regions_class_order"] == [1, 2]
+    assert len(os.listdir(os.path.join(out, "imagesTr"))) == 2
+
+    out = generate_integration_test_dataset(998, "ignore", num_cases=2)
+    dsj = load_json(os.path.join(out, "dataset.json"))
+    assert dsj["labels"]["ignore"] == 3
+
+
+def test_cli_plan_and_preprocess(tmp_path):
+    raw, pp, res = setup_env(tmp_path)
+    make_synthetic_dataset(raw, "Dataset910_CLI", num_cases=3)
+    from anatomask_tpu.cli import plan_and_preprocess_entry
+    plan_and_preprocess_entry(["-d", "910", "-c", "3d_fullres", "-np", "1",
+                               "--verify_dataset_integrity"])
+    assert os.path.isfile(os.path.join(pp, "Dataset910_CLI", "ATKPlans.json"))
+    out_dir = os.path.join(pp, "Dataset910_CLI", "ATKPlans_3d_fullres")
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".npz")
+                and not f.endswith(".props.npz")]) == 3
