@@ -89,9 +89,21 @@ class PretrainConfig:
     # small-scale tests and research variants)
     encoder_dims: Optional[Tuple[int, ...]] = None
     encoder_depth: Optional[Tuple[int, ...]] = None
+    encoder_type: str = "stunet"         # "stunet" | "mednext"
 
 
 def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
+    dtype0 = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.encoder_type == "mednext":
+        from anatomask_tpu.ssl.mednext import SparseMedNeXtEncoder
+        n = cfg.encoder_dims[0] if cfg.encoder_dims else 32
+        enc = SparseMedNeXtEncoder(n_channels=n, dtype=dtype0, remat=cfg.remat)
+        dec_width = cfg.decoder_width or enc.get_feature_map_channels()[-1]
+        dec = LightDecoder(up_sample_ratio=16, width=dec_width, norm="in",
+                           out_channels=in_channels, dtype=dtype0, remat=cfg.remat)
+        return SparK(sparse_encoder=enc, dense_decoder=dec,
+                     input_size=tuple(cfg.patch_size), mask_ratio=cfg.mask_ratio,
+                     densify_norm=cfg.densify_norm, dtype=dtype0)
     mult = _STUNET_WIDTHS[cfg.model_size.upper()]
     dims = list(cfg.encoder_dims) if cfg.encoder_dims else [mult * x for x in (1, 2, 4, 8, 16)]
     depth_map = {"S": 1, "B": 1, "L": 2, "H": 3}

@@ -221,3 +221,30 @@ def test_convtranspose2x_matches_torch(rng):
     wt = torch.from_numpy(np.flip(w, (0, 1, 2)).transpose(3, 4, 0, 1, 2).copy())
     ot = F.conv_transpose3d(xt, wt, stride=2, padding=1)
     np.testing.assert_allclose(out, ot.numpy().transpose(0, 2, 3, 4, 1), atol=2e-2)
+
+
+def test_mednext_encoder_contract(rng, eager):
+    from anatomask_tpu.ssl.mednext import SparseMedNeXtEncoder
+    enc = SparseMedNeXtEncoder(n_channels=2, block_counts=(1, 1, 1, 1, 1))
+    assert enc.get_downsample_ratio() == 16
+    assert enc.get_feature_map_channels() == [2, 4, 8, 16, 32]
+    x = jnp.ones((1, 16, 16, 16, 1))
+    active = jnp.array(np.random.RandomState(0).rand(1, 1, 1, 1, 1) > -1)  # all active
+    params = enc.init(jax.random.PRNGKey(0), x, active)
+    feats = enc.apply(params, x, active)
+    assert len(feats) == 5
+    assert feats[0].shape == (1, 16, 16, 16, 2)
+    assert feats[-1].shape == (1, 1, 1, 1, 32)
+
+
+def test_mednext_spark_forward(rng, eager):
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model
+    cfg = PretrainConfig(method="spark", patch_size=(16, 16, 16), batch_size=1,
+                         compute_dtype="float32", encoder_type="mednext",
+                         encoder_dims=(2,), decoder_width=32)
+    model = build_spark_model(cfg, 1)
+    x = jnp.ones((1, 16, 16, 16, 1))
+    active = model.mask(jax.random.PRNGKey(0), 1)
+    params = model.init(jax.random.PRNGKey(1), x, active)
+    inp, rec = model.apply(params, x, active)
+    assert inp.shape == rec.shape == (1, 1, 16 ** 3 * 1)
