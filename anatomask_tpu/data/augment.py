@@ -43,6 +43,12 @@ class SpatialAugmentConfig:
     scale_range: Tuple[float, float] = (0.7, 1.4)
     p_scaling: float = 0.2
     dummy_2d: bool = False                      # rotate in-plane only, keep axis 0
+    # elastic deformation (off by default; the DA5 aggressive-augmentation
+    # variant enables it): a smooth random displacement field added to the
+    # affine warp coordinates (batchgenerators elastic_deform equivalent)
+    p_elastic: float = 0.0
+    elastic_magnitude: Tuple[float, float] = (0.0, 0.2)  # fraction of patch size
+    elastic_grid: int = 4                       # coarse control-point grid
 
 
 @dataclass(frozen=True)
@@ -196,15 +202,35 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
     ))  # (3, ox, oy, oz), centered
     center_in = jnp.array([(s - 1) / 2 for s in in_shape], dtype=jnp.float32)
 
-    def warp_one(A_i, data_i, seg_i):
+    # optional smooth elastic displacement field (B, 3, ox, oy, oz)
+    disp = None
+    if cfg.p_elastic > 0:
+        kd, km, kp = jax.random.split(jax.random.fold_in(rng, 7), 3)
+        g = cfg.elastic_grid
+        coarse = jax.random.normal(kd, (batch, g, g, g, 3))
+        mag = jax.random.uniform(km, (batch, 1, 1, 1, 1),
+                                 minval=cfg.elastic_magnitude[0],
+                                 maxval=cfg.elastic_magnitude[1])
+        apply_el = jax.random.bernoulli(kp, float(cfg.p_elastic), (batch, 1, 1, 1, 1))
+        field = jax.image.resize(coarse, (batch, *out_shape, 3), method="linear")
+        scale_vox = jnp.asarray(out_shape, jnp.float32)
+        disp = jnp.where(apply_el, field * mag, 0.0) * scale_vox
+        disp = jnp.moveaxis(disp, -1, 1)  # (B, 3, ox, oy, oz)
+
+    def warp_one(A_i, data_i, seg_i, disp_i):
         pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]
+        if disp_i is not None:
+            pos = pos + disp_i
         d = jax.vmap(lambda c: _trilinear_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
             data_i.astype(jnp.float32))
         s = jax.vmap(lambda c: _nearest_sample(c, pos, -1.0), in_axes=-1, out_axes=-1)(
             seg_i.astype(jnp.float32))
         return d, s
 
-    data_out, seg_out = jax.vmap(warp_one)(A, data, seg)
+    if disp is None:
+        data_out, seg_out = jax.vmap(lambda a, d, sg: warp_one(a, d, sg, None))(A, data, seg)
+    else:
+        data_out, seg_out = jax.vmap(warp_one)(A, data, seg, disp)
     return data_out, seg_out.astype(jnp.int16)
 
 

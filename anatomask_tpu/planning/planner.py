@@ -386,3 +386,24 @@ def plan_and_preprocess(dataset_name_or_id, configurations=("3d_fullres",),
         pp = DefaultPreprocessor()
         pp.run(dataset_name_or_id, config, plans_name, num_processes)
     return plans
+
+
+class ResEncUNetPlanner(ExperimentPlanner):
+    """Residual-encoder U-Net planner variant.
+
+    Capability parity: /root/reference/nnunetv2/experiment_planning/
+    experiment_planners/resencUNet_planner.py:9-33 — same pipeline with
+    ResidualEncoderUNet, adjusted memory-reference constants and deeper
+    encoder block counts (1,3,4,6,6,...)."""
+
+    def __init__(self, dataset_name_or_id, memory_target_gb: float = 8.0,
+                 preprocessor_name: str = "DefaultPreprocessor",
+                 plans_name: str = "ATKResEncUNetPlans",
+                 overwrite_target_spacing=None, suppress_transpose: bool = False):
+        super().__init__(dataset_name_or_id, memory_target_gb, preprocessor_name,
+                         plans_name, overwrite_target_spacing, suppress_transpose)
+        self.UNet_class_name = "ResidualEncoderUNet"
+        self.UNet_reference_val_3d = 680_000_000
+        self.UNet_reference_val_2d = 135_000_000
+        self.UNet_blocks_per_stage_encoder = (1, 3, 4, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6)
+        self.UNet_blocks_per_stage_decoder = (1,) * 12

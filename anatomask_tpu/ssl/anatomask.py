@@ -47,19 +47,17 @@ def generate_guided_mask(
     loss_pred: jnp.ndarray,          # (B, L) teacher per-patch recon loss
     fmap: Sequence[int],
     len_keep: int,
-    len_loss: int,                    # int((L - len_keep) * keep_ratio), static
+    len_loss,                         # int((L - len_keep) * keep_ratio); may be TRACED
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (hard_mask, easy_mask) as (B, f1, f2, f3, 1) bool, True = keep.
 
     hard: the len_loss highest-teacher-loss patches are always masked; the other
-    masked slots are uniform over the remainder. len_loss must be a static
-    Python int (mask_ratio and the epoch-derived keep_ratio are host-side
-    scalars in the training loop, so this stays jit-static per epoch)."""
+    masked slots are uniform over the remainder. len_loss may be a traced
+    scalar (the epoch curriculum updates it without recompiling the train
+    step); len_loss <= 0 degenerates automatically to the pure random mask
+    (no patches forced -> keep set is len_keep lowest-noise = uniform)."""
     B, L = loss_pred.shape
     f1, f2, f3 = fmap
-    if len_loss <= 0:
-        m = random_keep_mask(rng, B, fmap, len_keep)
-        return m, m
 
     # rank of each patch by teacher loss (descending): rank 0 = hardest
     order = jnp.argsort(-loss_pred, axis=1)

@@ -324,12 +324,13 @@ class PretrainTrainer:
                 out_shardings=(repl, repl, repl), donate_argnums=(0, 1),
             )
         else:
+            # len_loss is traced: the per-epoch curriculum changes it WITHOUT
+            # recompiling the step (generate_guided_mask handles traced len_loss)
             self._anatomask_step = jax.jit(
                 anatomask_step,
-                in_shardings=(repl, repl, repl, repl, bsh, bsh, repl),
+                in_shardings=(repl, repl, repl, repl, bsh, bsh, repl, repl),
                 out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1, 2),
-                static_argnums=(7,),
             )
         self._val_step = jax.jit(val_step, in_shardings=(repl, repl, bsh, bsh),
                                  out_shardings=repl)
@@ -413,7 +414,7 @@ class PretrainTrainer:
                         self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
                             self.params, self.ema_params, self.opt_state, sub,
                             jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]),
-                            jnp.float32(ema_decay), len_loss)
+                            jnp.float32(ema_decay), jnp.int32(len_loss))
                     self.step_counter += 1
                     losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(losses)))

@@ -144,6 +144,7 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
     "ATKTrainerBenchmark_5epochs_noDataLoading": TrainerConfig(
         name="ATKTrainerBenchmark_5epochs_noDataLoading", num_epochs=5, benchmark=True,
         benchmark_no_dataloading=True),
+    "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5"),  # aggressive aug incl elastic, see initialize()
     "STUNetTrainer_small": stunet_trainer_config("S"),
     "STUNetTrainer_base": stunet_trainer_config("B"),
     "STUNetTrainer_large": stunet_trainer_config("L"),
@@ -346,10 +347,14 @@ class Trainer:
             i for i, m in enumerate(cm.use_mask_for_norm or []) if m
         )
         if self.cfg.do_data_augmentation:
+            aggressive = "DA5" in self.cfg.name  # reference nnUNetTrainerDA5
             spatial = SpatialAugmentConfig(
                 patch_size=patch,
                 rotation_x=tuple(rot["x"]), rotation_y=tuple(rot["y"]), rotation_z=tuple(rot["z"]),
                 dummy_2d=dummy_2d,
+                p_rotation=0.4 if aggressive else 0.2,
+                p_scaling=0.4 if aggressive else 0.2,
+                p_elastic=0.3 if aggressive else 0.0,
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
         else:

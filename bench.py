@@ -82,22 +82,19 @@ def main():
         return jax.value_and_grad(loss_fn)(params)
 
     def train_step(params, ema_params, opt_state, rng, x):
-        xs = x.reshape(MICRO, BATCH // MICRO, *x.shape[1:])
         keys = jax.random.split(rng, MICRO)
-
-        def body(acc, xk):
-            xb, key = xk
-            loss, grads = micro_grads(params, ema_params, key, xb)
-            acc = jax.tree_util.tree_map(jnp.add, acc, grads)
-            return acc, loss
-
-        zero = jax.tree_util.tree_map(jnp.zeros_like, params)
-        gsum, losses = jax.lax.scan(body, zero, (xs, keys))
-        grads = jax.tree_util.tree_map(lambda g: g / MICRO, gsum)
+        grads = None
+        losses = []
+        for i in range(MICRO):  # unrolled: simpler XLA program than lax.scan
+            xb = x[i * (BATCH // MICRO):(i + 1) * (BATCH // MICRO)]
+            loss_i, g_i = micro_grads(params, ema_params, keys[i], xb)
+            grads = g_i if grads is None else jax.tree_util.tree_map(jnp.add, grads, g_i)
+            losses.append(loss_i)
+        grads = jax.tree_util.tree_map(lambda g: g / MICRO, grads)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         new_ema = ema_update(ema_params, new_params, 0.999)
-        return new_params, new_ema, new_opt, jnp.mean(losses)
+        return new_params, new_ema, new_opt, jnp.mean(jnp.stack(losses))
 
     step = jax.jit(train_step, donate_argnums=(0, 1, 2))
 

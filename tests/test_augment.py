@@ -155,3 +155,14 @@ def test_val_pipeline(rng):
     seg = jnp.full((1, 8, 8, 8, 1), -1, jnp.int16)
     d, targets = fn(None, data, seg)
     assert int(targets[0].max()) == 0
+
+
+def test_elastic_deformation(rng):
+    cfg = SpatialAugmentConfig(patch_size=(8, 8, 8), p_rotation=0.0, p_scaling=0.0,
+                               p_elastic=1.0, elastic_magnitude=(0.1, 0.1))
+    data = rng.rand(1, 12, 12, 12, 1).astype(np.float32)
+    seg = rng.randint(0, 3, (1, 12, 12, 12, 1)).astype(np.int16)
+    d, s = spatial_augment(jnp.array(data), jnp.array(seg), jax.random.PRNGKey(0), cfg)
+    center_crop = data[:, 2:10, 2:10, 2:10]
+    assert not np.allclose(np.asarray(d), center_crop)  # deformed
+    assert float(d.min()) >= -1e-5 and float(d.max()) <= 1 + 1e-5
