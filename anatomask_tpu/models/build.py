@@ -52,12 +52,25 @@ def build_network_from_plans(
             deep_supervision=deep_supervision, dtype=dtype,
         )
 
-    if name in ("PlainConvUNet", "ResidualEncoderUNet"):
-        # ResidualEncoderUNet support tracks PlainConvUNet for now (conv stacks)
-        features = [
-            min(cm.UNet_base_num_features * 2 ** i, cm.unet_max_num_features)
-            for i in range(n_stages)
-        ]
+    features = [
+        min(cm.UNet_base_num_features * 2 ** i, cm.unet_max_num_features)
+        for i in range(n_stages)
+    ]
+    if name == "ResidualEncoderUNet":
+        from anatomask_tpu.models.plain_unet import ResidualEncoderUNet
+        return ResidualEncoderUNet(
+            input_channels=num_input_channels,
+            num_classes=num_output_channels,
+            n_stages=n_stages,
+            features_per_stage=features,
+            kernel_sizes=kernels,
+            strides=strides,
+            n_blocks_per_stage=list(cm.n_conv_per_stage_encoder),
+            n_conv_per_stage_decoder=list(cm.n_conv_per_stage_decoder),
+            deep_supervision=deep_supervision,
+            dtype=dtype,
+        )
+    if name == "PlainConvUNet":
         return PlainConvUNet(
             input_channels=num_input_channels,
             num_classes=num_output_channels,

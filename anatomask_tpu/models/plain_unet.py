@@ -93,3 +93,62 @@ class PlainConvUNet(nn.Module):
         if self.deep_supervision:
             return tuple(seg_outputs[::-1])  # highest resolution first
         return seg_outputs[-1]
+
+
+class ResidualEncoderUNet(nn.Module):
+    """Residual-encoder U-Net (reference: dynamic_network_architectures
+    ResidualEncoderUNet built by get_network_from_plans / ResEncUNetPlanner):
+    encoder stage = n_blocks x residual basic blocks (first carries the
+    stride), decoder = transposed conv + concat skip + conv stack + DS heads.
+    """
+    input_channels: int
+    num_classes: int
+    n_stages: int
+    features_per_stage: Sequence[int]
+    kernel_sizes: Sequence[Sequence[int]]
+    strides: Sequence[Sequence[int]]
+    n_blocks_per_stage: Sequence[int]
+    n_conv_per_stage_decoder: Sequence[int]
+    deep_supervision: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from anatomask_tpu.models.stunet import BasicResBlock
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        Block = nn.remat(BasicResBlock) if self.remat else BasicResBlock
+        Stage = nn.remat(_ConvStage) if self.remat else _ConvStage
+
+        skips = []
+        for s in range(self.n_stages):
+            f = self.features_per_stage[s]
+            k = self.kernel_sizes[s]
+            for b in range(self.n_blocks_per_stage[s]):
+                stride = tuple(self.strides[s]) if b == 0 else (1,) * len(k)
+                needs_proj = b == 0 and (any(st != 1 for st in stride) or x.shape[-1] != f)
+                x = Block(f, k, stride, use_1x1conv=needs_proj,
+                          name=f"encoder_stage_{s}_block_{b}", **dd)(x)
+            skips.append(x)
+
+        seg_outputs = []
+        for d in range(self.n_stages - 1):
+            tgt = self.n_stages - 2 - d
+            f = self.features_per_stage[tgt]
+            stride = tuple(self.strides[tgt + 1])
+            x = nn.ConvTranspose(
+                features=f, kernel_size=stride, strides=stride, padding="VALID",
+                kernel_init=he_normal_leaky(), name=f"decoder_transp_{d}", **dd,
+            )(x)
+            x = jnp.concatenate([x, skips[tgt]], axis=-1)
+            x = Stage(f, self.n_conv_per_stage_decoder[d], self.kernel_sizes[tgt],
+                      (1,) * len(stride), name=f"decoder_stage_{d}", **dd)(x)
+            ones = (1,) * len(stride)
+            seg = ConvND(self.num_classes, ones, padding=tuple((0, 0) for _ in ones),
+                         name=f"seg_output_{d}", **dd)(x)
+            seg_outputs.append(seg)
+
+        if self.deep_supervision:
+            return tuple(seg_outputs[::-1])
+        return seg_outputs[-1]

@@ -148,3 +148,18 @@ def test_stunet_bf16_compute(eager):
     # params stay fp32
     leaf = jax.tree_util.tree_leaves(params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_residual_encoder_unet_shapes(eager):
+    from anatomask_tpu.models.plain_unet import ResidualEncoderUNet
+    net = ResidualEncoderUNet(
+        input_channels=1, num_classes=2, n_stages=3,
+        features_per_stage=[2, 4, 8], kernel_sizes=[[3, 3, 3]] * 3,
+        strides=[[1, 1, 1], [2, 2, 2], [2, 2, 2]],
+        n_blocks_per_stage=[1, 2, 2], n_conv_per_stage_decoder=[1, 1],
+    )
+    x = jnp.ones((1, 8, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert outs[0].shape == (1, 8, 8, 8, 2)
+    assert outs[-1].shape == (1, 4, 4, 4, 2)
