@@ -90,6 +90,11 @@ def rotation_ranges_and_initial_patch_size(
     rotation; the sampled patch is enlarged so rotation+scaling never read
     outside it."""
     patch_size = list(patch_size)
+    if len(patch_size) == 3 and patch_size[0] == 1:
+        # promoted-2D configuration: apply the 2D rules in-plane, no enlargement
+        # along the singleton axis
+        rot, dummy, initial, mirror_axes = rotation_ranges_and_initial_patch_size(patch_size[1:])
+        return rot, True, np.array([1, *initial]), (1, 2)
     dim = len(patch_size)
     if dim == 2:
         do_dummy_2d = False

@@ -49,7 +49,7 @@ from anatomask_tpu.data.sampler import PatchSampler
 from anatomask_tpu.models.build import build_network_from_plans
 from anatomask_tpu.paths import require
 from anatomask_tpu.plans.label_handling import determine_num_input_channels
-from anatomask_tpu.plans.plans_handler import PlansManager, load_json, save_json
+from anatomask_tpu.plans.plans_handler import ConfigurationManager, PlansManager, load_json, save_json
 from anatomask_tpu.training import checkpoint as ckpt_lib
 from anatomask_tpu.training.logger import TrainingLogger
 from anatomask_tpu.training.losses import (
@@ -175,6 +175,22 @@ def generate_crossval_split(keys: List[str], n_splits: int = 5, seed: int = 1234
     return splits
 
 
+def promote_2d_configuration(cfg: dict) -> dict:
+    """Rewrite a 2D configuration dict as singleton-3D: patch (1, y, x),
+    per-stage pool/kernel sizes get a leading 1."""
+    out = dict(cfg)
+    out["patch_size"] = [1, *cfg["patch_size"]]
+    if "pool_op_kernel_sizes" in cfg:
+        out["pool_op_kernel_sizes"] = [[1, *p] for p in cfg["pool_op_kernel_sizes"]]
+    if "conv_kernel_sizes" in cfg:
+        out["conv_kernel_sizes"] = [[1, *k] for k in cfg["conv_kernel_sizes"]]
+    if "num_pool_per_axis" in cfg:
+        out["num_pool_per_axis"] = [0, *cfg["num_pool_per_axis"]]
+    if "median_image_size_in_voxels" in cfg and len(cfg["median_image_size_in_voxels"]) == 2:
+        out["median_image_size_in_voxels"] = [1, *cfg["median_image_size_in_voxels"]]
+    return out
+
+
 def pick_mesh_for_batch(batch_size: int) -> Tuple[Mesh, int]:
     """Largest divisor of batch_size <= device count -> Mesh(('data',))."""
     devices = jax.devices()
@@ -198,6 +214,13 @@ class Trainer:
         self.plans_manager = PlansManager(plans)
         self.configuration_manager = self.plans_manager.get_configuration(configuration)
         self.configuration_name = configuration
+        # 2D configurations are promoted to singleton-3D (patch (1, y, z),
+        # kernels (1, k, k)): mathematically identical to 2D convs/norms, and
+        # every 3D code path (sampler, on-device augmentation, sliding window)
+        # is reused unchanged. Reference analog: data_loader_2d + 2D network.
+        if len(self.configuration_manager.patch_size) == 2:
+            self.configuration_manager = ConfigurationManager(
+                promote_2d_configuration(self.configuration_manager.configuration))
         self.fold = fold
         self.dataset_json = dataset_json
         self.cfg = config

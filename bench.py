@@ -48,7 +48,7 @@ def main():
 
     cfg = PretrainConfig(
         method="anatomask", model_size="B", patch_size=PATCH, batch_size=BATCH,
-        mask_ratio=0.6, compute_dtype="bfloat16", remat=False,
+        mask_ratio=0.6, compute_dtype="bfloat16", remat=True,
     )
     model = build_spark_model(cfg, in_channels=1)
     rng = jax.random.PRNGKey(0)

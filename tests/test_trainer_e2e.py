@@ -129,3 +129,38 @@ def test_benchmark_result_written(trained):
                 output_folder=os.path.join(str(tmp_path), "bench_out"))
     t.run_training()
     assert os.path.isfile(os.path.join(t.output_folder, "benchmark_result.json"))
+
+
+def test_2d_configuration_training(trained):
+    """2D configs are promoted to singleton-3D; train a tiny 2D net e2e."""
+    trainer, tmp_path = trained
+    import os
+    from anatomask_tpu.plans.plans_handler import load_json, save_json
+    from anatomask_tpu.training.trainer import Trainer, TrainerConfig
+
+    plans = dict(trainer.plans_manager.plans)
+    fullres = plans["configurations"]["3d_fullres"]
+    plans["configurations"]["tiny2d"] = {
+        "inherits_from": "3d_fullres",
+        "data_identifier": fullres["data_identifier"],
+        "patch_size": [16, 16],
+        "batch_size": 2,
+        "UNet_base_num_features": 2,
+        "unet_max_num_features": 4,
+        "pool_op_kernel_sizes": [[1, 1], [2, 2]],
+        "conv_kernel_sizes": [[3, 3]] * 2,
+        "num_pool_per_axis": [1, 1],
+        "n_conv_per_stage_encoder": [1, 1],
+        "n_conv_per_stage_decoder": [1],
+        "batch_dice": True,
+    }
+    cfg = TrainerConfig(name="ATKTrainer2DT", num_epochs=1, num_iterations_per_epoch=2,
+                        num_val_iterations_per_epoch=1, compute_dtype="float32",
+                        num_workers=1)
+    t = Trainer(plans, "tiny2d", 0, trainer.dataset_json, cfg,
+                output_folder=os.path.join(str(tmp_path), "out2d"))
+    assert t.configuration_manager.patch_size == [1, 16, 16]
+    assert t.configuration_manager.conv_kernel_sizes[0] == [1, 3, 3]
+    t.run_training()
+    import numpy as np
+    assert np.isfinite(t.logger.logging["train_losses"][0])
