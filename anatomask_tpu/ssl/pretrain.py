@@ -226,7 +226,8 @@ class PretrainTrainer:
         )
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
-        self.loader_train = PrefetchPipeline(self.sampler_train, num_workers=n_workers)
+        self.loader_train = PrefetchPipeline(self.sampler_train, num_workers=n_workers,
+                                             device_put=True)
         self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=1)
         self.n_train = len(train_keys)
         return self.loader_train, self.loader_val
