@@ -1,22 +1,29 @@
 """Pallas TPU kernel: stride-1 3x3x3 convolution as fused im2col matmul.
 
-Why: XLA-TPU's generic 3D convolution achieves only ~4-26 TFLOP/s on this
-framework's hot shapes (full-resolution encoder/decoder layers with 32-64
-channels; measured on v5e — see bench notes). The MXU-attainable rate for an
-im2col formulation is N_out/128 of peak (lane padding) which is 4-6x higher.
-This kernel tiles the (padded) input into VMEM, builds the (T, 27*C) patch
-matrix in registers/VMEM and issues ONE MXU matmul per tile:
+Why: XLA-TPU's generic 3D convolution achieves only ~8-27 TFLOP/s on this
+framework's hot shapes (full-resolution layers with 32-64 channels; measured on
+v5e). An im2col formulation puts the work on the MXU as one
+(rows x 27C) @ (27C x F) matmul per tile, whose attainable rate is bounded by
+F/128 lane packing — 4-6x better than what XLA achieves on these shapes.
 
-    out[t, f] = sum_{tap, c} patches[t, 27c] * W[27c, f]
+Kernel design (no manual DMA — the axon toolchain rejects pallas manual-copy
+constructs; halos are obtained with THREE single-X-row input specs, exploiting
+that a block of size 1 along X makes block-granular index_maps element-granular,
+so overlapping windows are legal):
 
-Forward + custom VJP: dx is the same kernel with the spatially-flipped,
-transposed kernel (conv_transpose identity); dw falls back to XLA's
-conv-based gradient (a reduction over space, which XLA handles on the MXU
-reasonably well).
+  grid = (B, X, Y // TYK)
+  inputs: rows x[b, i+dx] for dx in {0,1,2} of the zero-padded volume, each
+          (1, 1, Y+2, Z+2, C) in VMEM (pipelined; consecutive Y-tiles reuse them)
+  kernel: build patches (TYK*Z, 27*C) from 27 static shifted slices, one MXU
+          matmul against the reshaped weights, write the (TYK, Z, F) tile.
 
-Constraints: stride 1, kernel 3x3x3, 'same' padding, NDHWC, spatial dims
-divisible by the tile (8, 8, 16). `conv3d_3x3` transparently falls back to
-lax.conv_general_dilated when constraints don't hold (or on non-TPU backends).
+C is processed in chunks of <=32 by the wrapper (conv linearity over input
+channels), bounding VMEM; F arbitrary.
+
+Forward + custom VJP: dx reuses the kernel with the flipped/transposed kernel;
+dw falls back to XLA's correlation (MXU-friendly contraction over space).
+`conv3d_3x3` transparently falls back to lax.conv_general_dilated when the
+shape doesn't qualify.
 """
 from __future__ import annotations
 
@@ -34,7 +41,8 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-TILE = (8, 8, 16)  # (TX, TY, TZ); T = 1024 rows per MXU matmul
+C_CHUNK = 32   # input channels per kernel invocation
+TYK = 16       # Y rows per output tile
 
 
 def pallas_conv3d_available(x_shape, stride=(1, 1, 1), kernel=(3, 3, 3)) -> bool:
@@ -42,69 +50,84 @@ def pallas_conv3d_available(x_shape, stride=(1, 1, 1), kernel=(3, 3, 3)) -> bool
         return False
     if tuple(stride) != (1, 1, 1) or tuple(kernel) != (3, 3, 3):
         return False
-    _, X, Y, Z, _ = x_shape
-    return X % TILE[0] == 0 and Y % TILE[1] == 0 and Z % TILE[2] == 0
+    B, X, Y, Z, C = x_shape
+    if Y % TYK != 0:
+        return False
+    if Z % 8 != 0:
+        return False
+    if C > C_CHUNK and C % C_CHUNK != 0:
+        return False
+    return True
 
 
-def _conv_kernel(x_hbm, w_ref, o_ref, scratch, sem):
-    """x_hbm: (B, X+2, Y+2, Z+2, C) in ANY/HBM (halo slices DMA'd manually —
-    blocked BlockSpecs are block-granular and cannot overlap); w_ref: (27*C, F)
-    in VMEM; o_ref: (1, TX, TY, TZ, F); scratch: (TX+2, TY+2, TZ+2, C) VMEM."""
-    TX, TY, TZ = TILE
-    C = scratch.shape[-1]
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    k = pl.program_id(3)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * TX, TX + 2), pl.ds(j * TY, TY + 2), pl.ds(k * TZ, TZ + 2), :],
-        scratch, sem,
-    )
-    dma.start()
-    dma.wait()
-    cols = []
-    for dx in range(3):
-        for dy in range(3):
-            for dz in range(3):
-                sl = scratch[dx:dx + TX, dy:dy + TY, dz:dz + TZ, :]
-                cols.append(sl.reshape(TX * TY * TZ, C))
-    patches = jnp.concatenate(cols, axis=1)  # (T, 27*C)
-    out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
-    o_ref[0] = out.reshape(TX, TY, TZ, o_ref.shape[-1]).astype(o_ref.dtype)
+def _make_kernel(Y: int, Z: int, C: int, F: int):
+    def kernel(r0_ref, r1_ref, r2_ref, w_ref, o_ref):
+        """r*_ref: (1, 1, Y+2, Z+2, C) padded input rows x-1, x, x+1;
+        w_ref: (27*C, F); o_ref: (1, 1, TYK, Z, F)."""
+        j = pl.program_id(2)
+        rows = [r0_ref, r1_ref, r2_ref]
+        cols = []
+        for dx in range(3):
+            r = rows[dx]
+            for dy in range(3):
+                for dz in range(3):
+                    sl = r[0, 0, pl.ds(j * TYK + dy, TYK), dz:dz + Z, :]
+                    cols.append(sl.reshape(TYK * Z, C))
+        patches = jnp.concatenate(cols, axis=1)  # (TYK*Z, 27C)
+        out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
+        o_ref[0, 0] = out.reshape(TYK, Z, F).astype(o_ref.dtype)
+    return kernel
+
+
+def _pallas_conv3d_chunk(xp: jnp.ndarray, w2: jnp.ndarray, out_dtype,
+                         interpret: bool = False) -> jnp.ndarray:
+    """xp: (B, X+2, Y+2, Z+2, C) zero-padded; w2: (27*C, F)."""
+    B, Xp2, Yp2, Zp2, C = xp.shape
+    X, Y, Z = Xp2 - 2, Yp2 - 2, Zp2 - 2
+    F = w2.shape[-1]
+    grid = (B, X, Y // TYK)
+
+    row_block = (1, 1, Yp2, Zp2, C)
+    return pl.pallas_call(
+        _make_kernel(Y, Z, C, F),
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, F), out_dtype),
+        grid=grid,
+        in_specs=[
+            # block size 1 along X => block indices == element rows; the three
+            # specs provide the x-1, x, x+1 halo rows
+            pl.BlockSpec(row_block, lambda b, i, j: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(row_block, lambda b, i, j: (b, i + 1, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(row_block, lambda b, i, j: (b, i + 2, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((27 * C, F), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TYK, Z, F), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * X * Y * Z * 27 * C * F,
+            bytes_accessed=int(np.prod(xp.shape)) * xp.dtype.itemsize * 3
+            + int(np.prod(w2.shape)) * w2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(xp, xp, xp, w2)
 
 
 def _pallas_conv3d_fwd_impl(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (B, X, Y, Z, C); w (3, 3, 3, C, F) -> (B, X, Y, Z, F)."""
     B, X, Y, Z, C = x.shape
     F = w.shape[-1]
-    TX, TY, TZ = TILE
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
-    w2 = w.reshape(27 * C, F)
-
-    grid = (B, X // TX, Y // TY, Z // TZ)
-    return pl.pallas_call(
-        _conv_kernel,
-        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, F), x.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((27 * C, F), lambda b, i, j, k: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, TX, TY, TZ, F), lambda b, i, j, k: (b, i, j, k, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((TX + 2, TY + 2, TZ + 2, C), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * X * Y * Z * 27 * C * F,
-            bytes_accessed=x.size * x.dtype.itemsize * 2 + w.size * w.dtype.itemsize,
-            transcendentals=0,
-        ),
-    )(xp, w2)
+    n_chunks = 1 if C <= C_CHUNK else C // C_CHUNK
+    cs = C // n_chunks
+    out = None
+    for ci in range(n_chunks):
+        xc = xp[..., ci * cs:(ci + 1) * cs]
+        wc = w[:, :, :, ci * cs:(ci + 1) * cs, :].reshape(27 * cs, F)
+        part = _pallas_conv3d_chunk(xc, wc, jnp.float32, interpret)
+        out = part if out is None else out + part
+    return out.astype(x.dtype)
 
 
 def _lax_conv(x, w):
@@ -128,7 +151,10 @@ def _bwd(interpret, res, g):
     x, w = res
     # dx: 'same' conv of g with the spatially-flipped kernel, C/F transposed
     w_flip = jnp.flip(w, (0, 1, 2)).transpose(0, 1, 2, 4, 3)  # (3,3,3,F,C)
-    dx = _pallas_conv3d_fwd_impl(g, w_flip.astype(g.dtype), interpret)
+    if pallas_conv3d_available(g.shape):
+        dx = _pallas_conv3d_fwd_impl(g, w_flip.astype(g.dtype), interpret)
+    else:
+        dx = _lax_conv(g, w_flip.astype(g.dtype))
     # dw via XLA: correlation of x with g, batch+space contracted
     dw = jax.lax.conv_general_dilated(
         x.transpose(4, 1, 2, 3, 0),            # C as batch, B as features
