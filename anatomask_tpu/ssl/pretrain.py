@@ -72,6 +72,7 @@ class PretrainConfig:
     num_epochs: int = 1000
     iters_per_epoch: Optional[int] = None  # default floor(n_train / batch)
     lr: float = 1e-4                     # spark driver uses 2e-4
+    optimizer: str = "adamw"             # adamw | lamb (reference vendored lamb.py)
     weight_decay: float = 1e-5
     warmup_epochs: int = 20
     grad_clip: float = 12.0
@@ -251,11 +252,13 @@ class PretrainTrainer:
             cfg.lr, warmup_steps=cfg.warmup_epochs * iters, total_steps=total_steps,
             warmup_start_lr=1e-6,
         )
-        self.optimizer = optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
-            optax.adamw(self.lr_schedule, weight_decay=cfg.weight_decay,
-                        mask=no_decay_mask(self.params)),
-        )
+        if cfg.optimizer == "lamb":
+            opt = optax.lamb(self.lr_schedule, weight_decay=cfg.weight_decay,
+                             mask=no_decay_mask(self.params))
+        else:
+            opt = optax.adamw(self.lr_schedule, weight_decay=cfg.weight_decay,
+                              mask=no_decay_mask(self.params))
+        self.optimizer = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
         self.opt_state = self.optimizer.init(self.params)
         self.step_counter = 0
         self._build_steps()

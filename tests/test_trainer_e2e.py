@@ -164,3 +164,34 @@ def test_2d_configuration_training(trained):
     t.run_training()
     import numpy as np
     assert np.isfinite(t.logger.logging["train_losses"][0])
+
+
+def test_predictor_from_trained_model_folder(trained):
+    """The full user inference path: load fold checkpoints from the results
+    tree, preprocess raw images on the fly, sliding-window predict, export."""
+    trainer, tmp_path = trained
+    import numpy as np
+    from anatomask_tpu.inference.predictor import Predictor
+    from anatomask_tpu import paths
+
+    pred = Predictor(tile_batch_size=1, use_mirroring=True)
+    pred.initialize_from_trained_model_folder(trainer.output_folder_base, use_folds=[0])
+    assert pred.configuration_manager.patch_size == [16, 16, 16]
+
+    raw_images = os.path.join(paths.require("raw"), "Dataset903_E2E", "imagesTr")
+    out_dir = os.path.join(str(tmp_path), "preds_from_files")
+    results = pred.predict_from_files(raw_images, out_dir, save_probabilities=True)
+    assert len(results) == 6
+    ending = trainer.dataset_json["file_ending"]
+    outs = [f for f in os.listdir(out_dir) if f.endswith(ending)]
+    assert len(outs) == 6
+    assert len([f for f in os.listdir(out_dir) if f.endswith(".npz")
+                and not f.endswith(".props.npz")]) == 6
+    # predictions restore original geometry
+    from anatomask_tpu.imageio.nifti import NiftiIO
+    seg, props = NiftiIO().read_seg(os.path.join(out_dir, outs[0]))
+    assert seg.shape[1:] == (22, 24, 26)
+    # overwrite=False skips completed cases
+    again = pred.predict_from_files(raw_images, out_dir, overwrite=False,
+                                    save_probabilities=True)
+    assert len(again) == 0
