@@ -49,6 +49,7 @@ class SpatialAugmentConfig:
     p_elastic: float = 0.0
     elastic_magnitude: Tuple[float, float] = (0.0, 0.2)  # fraction of patch size
     elastic_grid: int = 4                       # coarse control-point grid
+    data_interpolation_order0: bool = False     # DAOrd0 variant: nearest for data
 
 
 @dataclass(frozen=True)
@@ -222,11 +223,13 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
         disp = jnp.where(apply_el, field * mag, 0.0) * scale_vox
         disp = jnp.moveaxis(disp, -1, 1)  # (B, 3, ox, oy, oz)
 
+    data_sample = _nearest_sample if cfg.data_interpolation_order0 else _trilinear_sample
+
     def warp_one(A_i, data_i, seg_i, disp_i):
         pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]
         if disp_i is not None:
             pos = pos + disp_i
-        d = jax.vmap(lambda c: _trilinear_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
+        d = jax.vmap(lambda c: data_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
             data_i.astype(jnp.float32))
         s = jax.vmap(lambda c: _nearest_sample(c, pos, -1.0), in_axes=-1, out_axes=-1)(
             seg_i.astype(jnp.float32))

@@ -145,6 +145,7 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
         name="ATKTrainerBenchmark_5epochs_noDataLoading", num_epochs=5, benchmark=True,
         benchmark_no_dataloading=True),
     "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5"),  # aggressive aug incl elastic, see initialize()
+    "ATKTrainerDAOrd0": TrainerConfig(name="ATKTrainerDAOrd0"),  # nearest data interp, see initialize()
     "STUNetTrainer_small": stunet_trainer_config("S"),
     "STUNetTrainer_base": stunet_trainer_config("B"),
     "STUNetTrainer_large": stunet_trainer_config("L"),
@@ -378,6 +379,7 @@ class Trainer:
                 p_rotation=0.4 if aggressive else 0.2,
                 p_scaling=0.4 if aggressive else 0.2,
                 p_elastic=0.3 if aggressive else 0.0,
+                data_interpolation_order0="DAOrd0" in self.cfg.name,  # reference nnUNetTrainerDAOrd0
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
         else:
