@@ -194,3 +194,19 @@ def load_torch_checkpoint_file(path: str) -> dict:
             if key in ckpt:
                 return ckpt[key]
     return ckpt
+
+
+def expand_input_channel_kernels(params: dict, target_in_channels: int) -> dict:
+    """Duplicate first-conv input-channel kernels to fit a model with more
+    input channels (reference load_stunet_for_autopet :212-249:
+    weight.repeat(1, 2, 1, 1, 1) for CT->CT+PET transfer). Applies to every
+    kernel whose input-channel dim is a divisor of target_in_channels and
+    smaller than it, restricted to the stem convs (conv_blocks_context_0)."""
+    flat = flatten_tree(params)
+    for k, v in flat.items():
+        if "conv_blocks_context_0" in k and k.endswith("kernel") and v.ndim == 5:
+            cin = v.shape[3]
+            if cin < target_in_channels and target_in_channels % cin == 0:
+                reps = target_in_channels // cin
+                flat[k] = np.tile(v, (1, 1, 1, reps, 1))
+    return unflatten_tree(flat)
