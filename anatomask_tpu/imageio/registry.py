@@ -10,12 +10,16 @@ from __future__ import annotations
 from typing import Optional, Type
 
 from anatomask_tpu.imageio.base import BaseReaderWriter
+from anatomask_tpu.imageio.natural_image import NaturalImage2DIO
 from anatomask_tpu.imageio.nifti import NiftiIO
 from anatomask_tpu.imageio.numpy_io import NumpyIO
+from anatomask_tpu.imageio.tiff_io import Tiff3DIO
 
 _REGISTRY = {
     "NiftiIO": NiftiIO,
     "NumpyIO": NumpyIO,
+    "NaturalImage2DIO": NaturalImage2DIO,
+    "Tiff3DIO": Tiff3DIO,
     # aliases for nnU-Net dataset.json compatibility
     "SimpleITKIO": NiftiIO,
     "NibabelIO": NiftiIO,
@@ -25,6 +29,8 @@ _REGISTRY = {
 _ENDING_MAP = [
     ([".nii", ".nii.gz"], NiftiIO),
     ([".npy", ".npz"], NumpyIO),
+    ([".tif", ".tiff"], Tiff3DIO),
+    ([".png", ".bmp", ".jpg", ".jpeg"], NaturalImage2DIO),
 ]
 
 

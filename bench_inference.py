@@ -2,7 +2,7 @@
 (volumes/sec) with batched mirror TTA — the reference's second headline metric
 (BASELINE.md: "sliding-window volumes/sec").
 
-Workload: STUNet-B (plans-default 6-stage topology), patch 112x112x128, tile
+Workload: STUNet-B (plans-default 6-stage topology), patch 128^3, tile
 step 0.5, full 8-flip TTA, volume 240x240x155 (BraTS-like). Prints one JSON
 line like bench.py.
 """
@@ -25,7 +25,7 @@ def main():
     from anatomask_tpu.inference.sliding_window import make_tile_predictor, sliding_window_predict
     from anatomask_tpu.models.stunet import stunet_preset
 
-    patch = (112, 112, 128)
+    patch = (128, 128, 128)
     net = stunet_preset("base", 1, 3, deep_supervision=False, dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16))
 

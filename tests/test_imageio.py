@@ -77,3 +77,43 @@ def test_registry():
     assert determine_reader_writer_from_dataset_json(ds) is NiftiIO
     ds = {"file_ending": ".nii.gz", "overwrite_image_reader_writer": "NumpyIO"}
     assert determine_reader_writer_from_dataset_json(ds) is NumpyIO
+
+
+def test_natural_image_2d_io(tmp_path, rng):
+    from PIL import Image
+    from anatomask_tpu.imageio.natural_image import NaturalImage2DIO
+    arr = (rng.rand(10, 12, 3) * 255).astype(np.uint8)
+    f = str(tmp_path / "img.png")
+    Image.fromarray(arr).save(f)
+    io = NaturalImage2DIO()
+    img, props = io.read_images([f])
+    assert img.shape == (3, 1, 10, 12)  # RGB -> 3 channels, (c, 1, H, W)
+    seg = (img[0] > 128).astype(np.uint8)
+    out = str(tmp_path / "seg.png")
+    io.write_seg(seg, out, props)
+    back, _ = io.read_seg(out)
+    np.testing.assert_array_equal(back[0], seg)
+    from anatomask_tpu.imageio.registry import determine_reader_writer_from_file_ending
+    assert determine_reader_writer_from_file_ending(".png") is NaturalImage2DIO
+
+
+def test_tiff_3d_io(tmp_path, rng):
+    from anatomask_tpu.imageio.tiff_io import Tiff3DIO
+    vol = (rng.rand(5, 8, 9) * 200).astype(np.uint8)
+    from PIL import Image
+    frames = [Image.fromarray(s) for s in vol]
+    f = str(tmp_path / "case_0000.tif")
+    frames[0].save(f, save_all=True, append_images=frames[1:])
+    import json
+    with open(str(tmp_path / "case_0000.json"), "w") as fh:
+        json.dump({"spacing": [2.0, 1.0, 1.0]}, fh)
+    io = Tiff3DIO()
+    img, props = io.read_images([f])
+    assert img.shape == (1, 5, 8, 9)
+    assert props["spacing"] == [2.0, 1.0, 1.0]
+    seg = (img[0] > 100).astype(np.uint8)
+    out = str(tmp_path / "seg.tif")
+    io.write_seg(seg, out, props)
+    back, props2 = io.read_seg(out)
+    np.testing.assert_array_equal(back[0], seg)
+    assert props2["spacing"] == [2.0, 1.0, 1.0]
