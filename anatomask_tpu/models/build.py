@@ -24,6 +24,7 @@ def build_network_from_plans(
     arch_name: Optional[str] = None,
     deep_supervision: bool = True,
     dtype=jnp.float32,
+    norm: str = "instance",
 ):
     """arch_name overrides the plans' UNet_class_name; 'STUNet-{S,B,L,H}' selects
     the STUNet family with topology from the plans."""
@@ -81,6 +82,7 @@ def build_network_from_plans(
             n_conv_per_stage=list(cm.n_conv_per_stage_encoder),
             n_conv_per_stage_decoder=list(cm.n_conv_per_stage_decoder),
             deep_supervision=deep_supervision,
+            norm=norm,
             dtype=dtype,
         )
     raise RuntimeError(f"Unknown network architecture {name!r}")

@@ -96,3 +96,26 @@ def upsample_nearest(x, scale: Sequence[int]):
         if s != 1:
             x = jnp.repeat(x, s, axis=ax + 1)
     return x
+
+
+class BatchNorm(nn.Module):
+    """Training-mode batch normalization (batch+spatial statistics, affine).
+    Under the sharded global batch this is SyncBN (the reference converts BN ->
+    SyncBatchNorm for DDP; GSPMD gives the same semantics for free). fp32
+    reductions, bf16 affine application."""
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
+        mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
+        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        b = bias.astype(jnp.float32) - mean * a
+        return x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype)

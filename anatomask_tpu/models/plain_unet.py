@@ -14,13 +14,14 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from anatomask_tpu.models.layers import ConvND, InstanceNorm, he_normal_leaky, leaky_relu
+from anatomask_tpu.models.layers import BatchNorm, ConvND, InstanceNorm, he_normal_leaky, leaky_relu
 
 
 class ConvNormAct(nn.Module):
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = None
+    norm: str = "instance"        # instance | batch (nnUNetTrainerBN variant)
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -28,7 +29,8 @@ class ConvNormAct(nn.Module):
     def __call__(self, x):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         x = ConvND(self.features, self.kernel_size, self.strides, name="conv", **dd)(x)
-        return leaky_relu(InstanceNorm(name="norm", **dd)(x))
+        Norm = BatchNorm if self.norm == "batch" else InstanceNorm
+        return leaky_relu(Norm(name="norm", **dd)(x))
 
 
 class _ConvStage(nn.Module):
@@ -36,6 +38,7 @@ class _ConvStage(nn.Module):
     n_convs: int
     kernel_size: Sequence[int]
     strides: Sequence[int]
+    norm: str = "instance"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
@@ -44,7 +47,8 @@ class _ConvStage(nn.Module):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         for i in range(self.n_convs):
             strides = self.strides if i == 0 else None
-            x = ConvNormAct(self.features, self.kernel_size, strides, name=f"conv{i}", **dd)(x)
+            x = ConvNormAct(self.features, self.kernel_size, strides, norm=self.norm,
+                            name=f"conv{i}", **dd)(x)
         return x
 
 
@@ -58,6 +62,7 @@ class PlainConvUNet(nn.Module):
     n_conv_per_stage: Sequence[int]
     n_conv_per_stage_decoder: Sequence[int]
     deep_supervision: bool = True
+    norm: str = "instance"        # instance | batch
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
@@ -69,7 +74,7 @@ class PlainConvUNet(nn.Module):
         skips = []
         for s in range(self.n_stages):
             x = Stage(self.features_per_stage[s], self.n_conv_per_stage[s],
-                      self.kernel_sizes[s], tuple(self.strides[s]),
+                      self.kernel_sizes[s], tuple(self.strides[s]), norm=self.norm,
                       name=f"encoder_stage_{s}", **dd)(x)
             skips.append(x)
 
@@ -84,7 +89,7 @@ class PlainConvUNet(nn.Module):
             )(x)
             x = jnp.concatenate([x, skips[tgt]], axis=-1)
             x = Stage(f, self.n_conv_per_stage_decoder[d], self.kernel_sizes[tgt],
-                      (1,) * len(stride), name=f"decoder_stage_{d}", **dd)(x)
+                      (1,) * len(stride), norm=self.norm, name=f"decoder_stage_{d}", **dd)(x)
             ones = (1,) * len(stride)
             seg = ConvND(self.num_classes, ones, padding=tuple((0, 0) for _ in ones),
                          name=f"seg_output_{d}", **dd)(x)

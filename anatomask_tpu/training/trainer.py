@@ -146,6 +146,7 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
         benchmark_no_dataloading=True),
     "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5"),  # aggressive aug incl elastic, see initialize()
     "ATKTrainerDAOrd0": TrainerConfig(name="ATKTrainerDAOrd0"),  # nearest data interp, see initialize()
+    "ATKTrainerBN": TrainerConfig(name="ATKTrainerBN"),  # BatchNorm network, see initialize()
     "STUNetTrainer_small": stunet_trainer_config("S"),
     "STUNetTrainer_base": stunet_trainer_config("B"),
     "STUNetTrainer_large": stunet_trainer_config("L"),
@@ -329,6 +330,7 @@ class Trainer:
             self.plans_manager, cm, num_in, self.label_manager.num_segmentation_heads,
             arch_name=self.cfg.arch_name,
             deep_supervision=self.cfg.enable_deep_supervision, dtype=dtype,
+            norm="batch" if "BN" in self.cfg.name else "instance",  # nnUNetTrainerBN
         )
         patch = tuple(cm.patch_size)
         rng = jax.random.PRNGKey(self.cfg.seed)

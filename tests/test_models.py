@@ -163,3 +163,16 @@ def test_residual_encoder_unet_shapes(eager):
     outs = net.apply(params, x)
     assert outs[0].shape == (1, 8, 8, 8, 2)
     assert outs[-1].shape == (1, 4, 4, 4, 2)
+
+
+def test_plain_conv_unet_batchnorm_variant(eager):
+    net = PlainConvUNet(
+        input_channels=1, num_classes=2, n_stages=2,
+        features_per_stage=[2, 4], kernel_sizes=[[3, 3, 3]] * 2,
+        strides=[[1, 1, 1], [2, 2, 2]],
+        n_conv_per_stage=[1, 1], n_conv_per_stage_decoder=[1], norm="batch",
+    )
+    x = jnp.ones((2, 8, 8, 8, 1))
+    params = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(params, x)
+    assert outs[0].shape == (2, 8, 8, 8, 2)
