@@ -627,6 +627,17 @@ class Trainer:
                 self.logger.log("epoch_start_timestamps", t0, epoch)
                 self.logger.log("lrs", float(self._lr_schedule(self.step_counter)), epoch)
 
+                # optional JAX profiler trace of the first epoch's steps
+                # (reference has no profiler integration; SURVEY.md §5 asks for one)
+                profile_dir = os.environ.get("ATK_PROFILE_DIR")
+                if profile_dir and epoch == self.current_epoch:
+                    try:
+                        jax.profiler.start_trace(profile_dir)
+                        self._profiling = True
+                    except Exception as e:
+                        self.print_to_log_file(f"profiler start failed: {e}")
+                        self._profiling = False
+
                 train_losses = []
                 for _ in range(self.cfg.num_iterations_per_epoch):
                     batch = dummy_batch if dummy_batch is not None else next(train_iter)
@@ -638,6 +649,15 @@ class Trainer:
                     self.step_counter += 1
                     train_losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(train_losses)))
+                if getattr(self, "_profiling", False):
+                    try:
+                        jax.profiler.stop_trace()
+                        self.print_to_log_file(f"profiler trace written to {os.environ['ATK_PROFILE_DIR']}")
+                    finally:
+                        self._profiling = False
+                if not np.isfinite(train_loss):
+                    self.print_to_log_file(
+                        f"WARNING: non-finite train loss at epoch {epoch}: {train_loss}")
                 self.logger.log("train_losses", train_loss, epoch)
 
                 if self.cfg.num_val_iterations_per_epoch > 0:
