@@ -11,12 +11,14 @@ TPU-native redesign:
 - Mirror TTA is a single batched forward: the 2^|axes| flips are stacked on the
   batch axis instead of run sequentially (same math, fills the MXU).
 - Tiles are processed in batches (`tile_batch_size`) for utilization.
-- Accumulation happens on host in float32 (matches the reference's CPU-fallback
-  semantics and supports arbitrarily large volumes); the device only ever sees
-  fixed-shape tiles, so there is no recompile across cases.
+- Gaussian accumulation runs on device (donated HBM buffers); only the final
+  volume is transferred to the host. A host-side float32 accumulation path
+  remains as the arbitrarily-large-volume fallback (the reference's GPU-OOM ->
+  CPU spill, predict_from_raw_data.py:726-738).
 """
 from __future__ import annotations
 
+import functools
 import itertools
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -102,6 +104,21 @@ def make_tile_predictor(
     return tile_fn
 
 
+@functools.lru_cache(maxsize=4)
+def _accumulate_fn(tile_size: Tuple[int, ...], num_channels: int):
+    """Jitted on-device Gaussian accumulation into the full-volume buffers
+    (donated, so the update is in-place in HBM)."""
+    def acc(logits, weights, pred, gauss, ox, oy, oz):
+        tx, ty, tz = tile_size
+        region = jax.lax.dynamic_slice(logits, (ox, oy, oz, 0), (tx, ty, tz, num_channels))
+        region = region + pred.astype(jnp.float32) * gauss[..., None]
+        logits = jax.lax.dynamic_update_slice(logits, region, (ox, oy, oz, 0))
+        wreg = jax.lax.dynamic_slice(weights, (ox, oy, oz), (tx, ty, tz))
+        weights = jax.lax.dynamic_update_slice(weights, wreg + gauss, (ox, oy, oz))
+        return logits, weights
+    return jax.jit(acc, donate_argnums=(0, 1))
+
+
 def sliding_window_predict(
     data: np.ndarray,
     tile_fn: Callable,
@@ -110,6 +127,7 @@ def sliding_window_predict(
     tile_step_size: float = 0.5,
     use_gaussian: bool = True,
     tile_batch_size: int = 4,
+    accumulate_on_device: bool = True,
     verbose: bool = False,
 ) -> np.ndarray:
     """data: (c, x, y, z) float32 -> logits (num_output_channels, x, y, z) float32.
@@ -117,6 +135,11 @@ def sliding_window_predict(
     `tile_fn`: jittable (B, tx, ty, tz, c) -> (B, tx, ty, tz, K) (already
     TTA-wrapped if desired; if the network returns a deep-supervision tuple the
     caller must reduce it to the full-res head first).
+
+    By default the Gaussian-weighted accumulation runs ON DEVICE (donated HBM
+    buffers + dynamic_update_slice): only the final volume crosses to the host,
+    not every tile (the reference keeps fp16 accumulators on GPU and spills to
+    CPU on OOM — same here via accumulate_on_device=False fallback).
     """
     assert data.ndim == 4
     tile_size = tuple(int(t) for t in tile_size)
@@ -134,11 +157,20 @@ def sliding_window_predict(
         else np.ones(tile_size, dtype=np.float32)
     )
 
+    jitted = jax.jit(tile_fn)
+
+    if accumulate_on_device:
+        try:
+            return _sliding_window_device_accum(
+                data_padded, slicer_to_undo, spatial, origins, gaussian,
+                jitted, tile_size, num_output_channels, tile_batch_size,
+            )
+        except Exception as e:  # device OOM etc. -> host accumulation
+            if verbose:
+                print(f"device accumulation failed ({type(e).__name__}); using host path")
+
     logits = np.zeros((num_output_channels, *spatial), dtype=np.float32)
     weights = np.zeros(spatial, dtype=np.float32)
-
-    jitted = jax.jit(tile_fn)
-    # batch tiles for MXU utilization; pad the final partial batch
     for start in range(0, len(origins), tile_batch_size):
         batch_origins = origins[start:start + tile_batch_size]
         n_valid = len(batch_origins)
@@ -158,3 +190,32 @@ def sliding_window_predict(
 
     logits /= weights
     return logits[(slice(None), *slicer_to_undo[1:])]
+
+
+def _sliding_window_device_accum(
+    data_padded, slicer_to_undo, spatial, origins, gaussian, jitted_tile_fn,
+    tile_size, num_output_channels, tile_batch_size,
+) -> np.ndarray:
+    logits = jnp.zeros((*spatial, num_output_channels), jnp.float32)
+    weights = jnp.zeros(spatial, jnp.float32)
+    gauss_dev = jnp.asarray(gaussian)
+    acc = _accumulate_fn(tile_size, num_output_channels)
+
+    for start in range(0, len(origins), tile_batch_size):
+        batch_origins = origins[start:start + tile_batch_size]
+        n_valid = len(batch_origins)
+        while len(batch_origins) < tile_batch_size:
+            batch_origins.append(batch_origins[-1])
+        tiles = np.stack([
+            data_padded[(slice(None), *[slice(o, o + t) for o, t in zip(orig, tile_size)])]
+            for orig in batch_origins
+        ])
+        tiles = np.moveaxis(tiles, 1, -1)
+        preds = jitted_tile_fn(jnp.asarray(tiles))  # stays on device
+        for i in range(n_valid):
+            ox, oy, oz = batch_origins[i]
+            logits, weights = acc(logits, weights, preds[i], gauss_dev, ox, oy, oz)
+
+    out = np.asarray(logits / weights[..., None], dtype=np.float32)
+    out = np.moveaxis(out, -1, 0)
+    return out[(slice(None), *slicer_to_undo[1:])]

@@ -94,3 +94,16 @@ def test_sliding_window_small_volume_padding(rng):
     out = sliding_window_predict(data, tile_fn, (16, 16, 16), 1)
     assert out.shape == (1, 10, 12, 9)
     np.testing.assert_allclose(out, 1.0)
+
+
+def test_device_and_host_accumulation_agree(rng):
+    data = rng.rand(1, 20, 24, 18).astype(np.float32)
+
+    def tile_fn(x):
+        return jnp.concatenate([x * 0.5, x ** 2], axis=-1)
+
+    dev = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
+                                 accumulate_on_device=True)
+    host = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
+                                  accumulate_on_device=False)
+    np.testing.assert_allclose(dev, host, atol=1e-4)
