@@ -517,10 +517,16 @@ class Trainer:
         cm = self.configuration_manager
         prev_stage_folder = None
         if cm.previous_stage_name is not None:
+            # <results>/<dataset>/<trainer>__<plans>__<prev_stage>/predicted_next_stage/<this_config>
+            parent, model_dir = os.path.split(self.output_folder_base.rstrip(os.sep))
+            prev_model_dir = model_dir.rsplit("__", 1)[0] + f"__{cm.previous_stage_name}"
             prev_stage_folder = os.path.join(
-                self.output_folder_base.rsplit(os.sep, 1)[0].replace(
-                    f"__{self.configuration_name}", f"__{cm.previous_stage_name}"),
-                "predicted_next_stage", self.configuration_name)
+                parent, prev_model_dir, "predicted_next_stage", self.configuration_name)
+            if not os.path.isdir(prev_stage_folder):
+                raise RuntimeError(
+                    f"Cascade stage requires previous-stage predictions at "
+                    f"{prev_stage_folder}. Train {cm.previous_stage_name} (incl. final "
+                    f"validation) first.")
         ds_tr = CaseDataset(self.preprocessed_dataset_folder, tr_keys,
                             folder_with_segs_from_previous_stage=prev_stage_folder)
         ds_val = CaseDataset(self.preprocessed_dataset_folder, val_keys,
