@@ -342,3 +342,48 @@ def convert_msd_entry(argv: Optional[List[str]] = None):
     a = p.parse_args(argv)
     from anatomask_tpu.dataset_conversion.convert_msd import convert_msd_dataset
     convert_msd_dataset(a.i, a.overwrite_id, a.np)
+
+
+def plot_overlay_pngs_entry(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser("atk_plot_overlay_pngs")
+    p.add_argument("-i", required=True, help="images folder")
+    p.add_argument("-s", required=True, help="segmentations folder")
+    p.add_argument("-o", required=True, help="output folder")
+    p.add_argument("-djfile", required=True)
+    p.add_argument("-np", type=int, default=4)
+    a = p.parse_args(argv)
+    from anatomask_tpu.utils.overlay_plots import generate_overlays_for_folder
+    generate_overlays_for_folder(a.i, a.s, a.o, load_json(a.djfile), a.np)
+
+
+def accumulate_crossval_entry(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser("atk_accumulate_crossval_results")
+    p.add_argument("dataset_name_or_id")
+    p.add_argument("-c", default="3d_fullres")
+    p.add_argument("-tr", default="ATKTrainer")
+    p.add_argument("-p", default="ATKPlans")
+    p.add_argument("-f", nargs="+", type=int, default=[0, 1, 2, 3, 4])
+    p.add_argument("-o", default=None)
+    a = p.parse_args(argv)
+    from anatomask_tpu.evaluation.find_best_configuration import (
+        accumulate_cv_results, folder_for_model,
+    )
+    from anatomask_tpu.utils.helpers import maybe_convert_to_dataset_name
+    name = maybe_convert_to_dataset_name(a.dataset_name_or_id)
+    model = folder_for_model(name, a.tr, a.p, a.c)
+    out = a.o or (model + "_crossval_results")
+    m = accumulate_cv_results(model, out, a.f)
+    print("foreground mean Dice:", m["foreground_mean"]["Dice"])
+
+
+def download_model_entry(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser("atk_download_model")
+    p.add_argument("-url", required=True)
+    a = p.parse_args(argv)
+    import urllib.request
+    import tempfile
+    from anatomask_tpu.utils.model_sharing import install_model_from_zip_file
+    with tempfile.NamedTemporaryFile(suffix=".zip", delete=False) as f:
+        print(f"downloading {a.url} ...")
+        urllib.request.urlretrieve(a.url, f.name)
+        install_model_from_zip_file(f.name)
