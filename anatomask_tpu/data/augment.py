@@ -81,6 +81,10 @@ class AugmentConfig:
     ds_scales: Tuple[Tuple[int, ...], ...] = ()    # per-DS-level integer downsample factors
     regions: Optional[Tuple] = None                # region tuples for region-based targets
     ignore_label: Optional[int] = None
+    # cascade: seg channel 1 is the previous-stage prediction; it is one-hot
+    # encoded over these labels and appended to the data channels (reference
+    # MoveSegAsOneHotToData)
+    cascade_foreground_labels: Tuple[int, ...] = ()
 
 
 def rotation_ranges_and_initial_patch_size(
@@ -427,6 +431,12 @@ def make_train_augment_fn(cfg: AugmentConfig):
             for ch in cfg.mask_channels_for_norm:
                 data = data.at[..., ch].set(jnp.where(outside[..., 0], 0.0, data[..., ch]))
         seg = jnp.where(seg == -1, 0, seg)  # RemoveLabelTransform
+        if cfg.cascade_foreground_labels and seg.shape[-1] > 1:
+            prev = seg[..., 1]
+            onehot = jnp.stack(
+                [(prev == l).astype(data.dtype) for l in cfg.cascade_foreground_labels], -1)
+            data = jnp.concatenate([data, onehot], axis=-1)
+            seg = seg[..., :1]
         targets = downsample_seg_for_ds(seg, cfg.ds_scales) if cfg.ds_scales else [seg]
         return data, targets
 
@@ -440,6 +450,12 @@ def make_val_transform_fn(cfg: AugmentConfig):
         del rng
         data = data.astype(jnp.float32)
         seg = jnp.where(seg == -1, 0, seg)
+        if cfg.cascade_foreground_labels and seg.shape[-1] > 1:
+            prev = seg[..., 1]
+            onehot = jnp.stack(
+                [(prev == l).astype(data.dtype) for l in cfg.cascade_foreground_labels], -1)
+            data = jnp.concatenate([data, onehot], axis=-1)
+            seg = seg[..., :1]
         targets = downsample_seg_for_ds(seg, cfg.ds_scales) if cfg.ds_scales else [seg]
         return data, targets
     return transform

@@ -32,6 +32,9 @@ class PatchSampler:
         sampling_probabilities: Optional[np.ndarray] = None,
         pad_sides: Optional[Sequence[int]] = None,
         seed: Optional[int] = None,
+        cascade_corruption: bool = False,
+        cascade_p_binary_op: float = 0.4,
+        cascade_p_remove_component: float = 0.2,
     ):
         self.dataset = dataset
         self.indices = list(dataset.keys())
@@ -46,6 +49,9 @@ class PatchSampler:
         self.has_ignore = has_ignore
         self.probabilistic_oversampling = probabilistic_oversampling
         self.sampling_probabilities = sampling_probabilities
+        self.cascade_corruption = cascade_corruption
+        self.cascade_p_binary_op = cascade_p_binary_op
+        self.cascade_p_remove_component = cascade_p_remove_component
         self.rng = np.random.RandomState(seed)
 
     def _do_oversample(self, sample_idx: int) -> bool:
@@ -102,6 +108,37 @@ class PatchSampler:
         bbox_ubs = [bbox_lbs[i] + int(self.patch_size[i]) for i in range(dim)]
         return bbox_lbs, bbox_ubs
 
+    def _corrupt_previous_stage(self, prev_seg: np.ndarray) -> np.ndarray:
+        """Cascade robustness corruption of the previous-stage prediction
+        (reference cascade_transforms: ApplyRandomBinaryOperator — random
+        dilation/erosion/open/close — and RemoveRandomConnectedComponent for
+        small components). Host-side scipy, applied per sampled patch."""
+        from scipy.ndimage import (
+            binary_closing, binary_dilation, binary_erosion, binary_opening, label,
+        )
+        out = prev_seg.copy()
+        labels = [l for l in np.unique(out) if l > 0]
+        for l in labels:
+            mask = out == l
+            if self.rng.uniform() < self.cascade_p_binary_op:
+                op = self.rng.choice(4)
+                it = self.rng.randint(1, 4)
+                fn = [binary_dilation, binary_erosion, binary_opening, binary_closing][op]
+                new_mask = fn(mask, iterations=it)
+                out[mask & ~new_mask] = 0
+                out[new_mask & (out == 0)] = l
+                mask = new_mask
+            if self.rng.uniform() < self.cascade_p_remove_component:
+                lab, n = label(mask)
+                if n > 1:
+                    sizes = np.bincount(lab.ravel())[1:]
+                    fg = sizes.sum()
+                    small = [i + 1 for i, sz in enumerate(sizes) if sz < 0.15 * fg]
+                    if small:
+                        kill = small[self.rng.choice(len(small))]
+                        out[lab == kill] = 0
+        return out
+
     def generate_batch(self) -> Dict[str, np.ndarray]:
         keys = [self.indices[i] for i in self.rng.choice(
             len(self.indices), self.batch_size, replace=True, p=self.sampling_probabilities)]
@@ -125,6 +162,9 @@ class PatchSampler:
             ]
             data_crop = np.pad(data_crop, pads, mode="constant", constant_values=0)
             seg_crop = np.pad(seg_crop, pads, mode="constant", constant_values=-1)
+
+            if self.cascade_corruption and seg_crop.shape[0] > 1:
+                seg_crop[1] = self._corrupt_previous_stage(seg_crop[1])
 
             if data_batch is None:
                 data_batch = np.empty((self.batch_size, *data_crop.shape), dtype=np.float32)

@@ -389,17 +389,22 @@ class Trainer:
             intensity = IntensityAugmentConfig(
                 p_noise=0, p_blur=0, p_brightness=0, p_contrast=0, p_lowres=0,
                 p_gamma=0, p_gamma_invert=0)
+        cascade_labels = (
+            tuple(self.label_manager.foreground_labels)
+            if cm.previous_stage_name is not None else ())
         self.aug_config = AugmentConfig(
             spatial=spatial, intensity=intensity,
             mirror_axes=mirror_axes if (self.cfg.do_mirroring_aug and self.cfg.do_data_augmentation) else (),
             mask_channels_for_norm=mask_channels,
             ds_scales=tuple(ds_factors),
             ignore_label=self.label_manager.ignore_label,
+            cascade_foreground_labels=cascade_labels,
         )
         self.val_config = AugmentConfig(
             spatial=SpatialAugmentConfig(patch_size=patch, p_rotation=0.0, p_scaling=0.0),
             mirror_axes=(), mask_channels_for_norm=mask_channels, ds_scales=tuple(ds_factors),
             ignore_label=self.label_manager.ignore_label,
+            cascade_foreground_labels=cascade_labels,
         )
 
         self._build_steps()
@@ -541,6 +546,7 @@ class Trainer:
             has_ignore=self.label_manager.has_ignore_label,
             probabilistic_oversampling=self.cfg.probabilistic_oversampling,
             seed=self.cfg.seed,
+            cascade_corruption=cm.previous_stage_name is not None,
         )
         self.sampler_val = PatchSampler(
             ds_val, cm.batch_size, patch, final_patch_size=patch,

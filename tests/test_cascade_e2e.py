@@ -71,3 +71,20 @@ def test_cascade_training(tmp_path):
                      folder_with_segs_from_previous_stage=next_stage_dir)
     data, seg, props = ds.load_case(keys[0])
     assert seg.shape[0] == 2  # gt seg + previous-stage seg stacked
+
+    # fabricate exports for the remaining cases (real usage trains all 5
+    # lowres folds so every case has one) and TRAIN the cascade stage:
+    # sampler corruption + on-device one-hot stacking + widened input
+    all_keys = sorted(CaseDataset(t1.preprocessed_dataset_folder).keys())
+    for k in all_keys:
+        out = os.path.join(next_stage_dir, k + ".npz")
+        if not os.path.isfile(out):
+            with np.load(os.path.join(t1.preprocessed_dataset_folder, k + ".npz")) as z:
+                np.savez_compressed(out, seg=z["seg"][0])
+
+    t2 = Trainer(plans_file, "tiny_cascade", 0, dataset_json, cfg)
+    t2.run_training()
+    assert np.isfinite(t2.logger.logging["train_losses"][0])
+    # the cascade network consumed modalities + one-hot channels
+    first_kernel = t2.params["encoder_stage_0"]["conv0"]["conv"]["conv"]["kernel"]
+    assert first_kernel.shape[3] == n_in
