@@ -125,6 +125,7 @@ def train_entry(argv: Optional[List[str]] = None):
     cfg = get_trainer_config(a.tr)
     fold = a.fold if a.fold == "all" else int(a.fold)
     trainer = Trainer(os.path.join(pp, a.p + ".json"), a.configuration, fold, dataset_json, cfg)
+    trainer.disable_checkpointing = a.disable_checkpointing
     if a.val or a.val_best:
         trainer.initialize()
         trainer.load_checkpoint("checkpoint_best.npz" if a.val_best else "checkpoint_final.npz")

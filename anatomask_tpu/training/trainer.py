@@ -247,6 +247,7 @@ class Trainer:
         self.logger = TrainingLogger()
         self.current_epoch = 0
         self._best_ema: Optional[float] = None
+        self.disable_checkpointing = False
         self.network = None
         self.params = None
         self.opt_state = None
@@ -565,6 +566,8 @@ class Trainer:
 
     # --- checkpointing --------------------------------------------------------
     def save_checkpoint(self, filename: str):
+        if self.disable_checkpointing:
+            return
         meta = {
             "trainer_name": self.cfg.name,
             "configuration_name": self.configuration_name,

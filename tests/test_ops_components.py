@@ -168,3 +168,46 @@ def test_cli_plan_and_preprocess(tmp_path):
     out_dir = os.path.join(pp, "Dataset910_CLI", "ATKPlans_3d_fullres")
     assert len([f for f in os.listdir(out_dir) if f.endswith(".npz")
                 and not f.endswith(".props.npz")]) == 3
+
+
+def test_convert_brats_style(tmp_path, rng):
+    from anatomask_tpu.imageio.nifti import write_nifti
+    raw, pp, res = setup_env(tmp_path)
+    src = tmp_path / "brats_src"
+    for case in ["BraTS_001", "BraTS_002"]:
+        d = src / case
+        d.mkdir(parents=True)
+        for mod in ("t1", "t1ce", "t2", "flair"):
+            write_nifti(str(d / f"{case}_{mod}.nii.gz"),
+                        rng.rand(8, 9, 10).astype(np.float32))
+        seg = np.zeros((8, 9, 10), dtype=np.uint8)
+        seg[2:4] = 1; seg[4:5] = 2; seg[5:6] = 4  # BraTS label 4
+        write_nifti(str(d / f"{case}_seg.nii.gz"), seg)
+    from anatomask_tpu.dataset_conversion.convert_brats import convert_brats_dataset
+    out = convert_brats_dataset(str(src), 937, "BraTSTest")
+    assert len(os.listdir(os.path.join(out, "imagesTr"))) == 8  # 2 cases x 4 mods
+    from anatomask_tpu.imageio.nifti import read_nifti
+    seg_out, _ = read_nifti(os.path.join(out, "labelsTr", "BraTS_001.nii.gz"))
+    assert set(np.unique(seg_out)) <= {0, 1, 2, 3}  # 4 remapped to 3
+    from anatomask_tpu.plans.plans_handler import load_json
+    dsj = load_json(os.path.join(out, "dataset.json"))
+    assert dsj["labels"]["whole_tumor"] == [1, 2, 3]
+
+
+def test_convert_acdc_style(tmp_path, rng):
+    from anatomask_tpu.imageio.nifti import write_nifti
+    raw, pp, res = setup_env(tmp_path)
+    src = tmp_path / "acdc_src"
+    for pat in ["patient001", "patient002"]:
+        d = src / pat
+        d.mkdir(parents=True)
+        for frame in ["frame01", "frame12"]:
+            write_nifti(str(d / f"{pat}_{frame}.nii.gz"),
+                        rng.rand(6, 7, 8).astype(np.float32))
+            write_nifti(str(d / f"{pat}_{frame}_gt.nii.gz"),
+                        rng.randint(0, 4, (6, 7, 8)).astype(np.uint8))
+    from anatomask_tpu.dataset_conversion.convert_acdc import convert_acdc_dataset
+    out = convert_acdc_dataset(str(src), 927)
+    assert len(os.listdir(os.path.join(out, "imagesTr"))) == 4  # 2 pats x 2 frames
+    from anatomask_tpu.plans.plans_handler import load_json
+    assert load_json(os.path.join(out, "dataset.json"))["numTraining"] == 4
