@@ -42,7 +42,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 C_CHUNK = 32   # input channels per kernel invocation
-TYK = 16       # Y rows per output tile
+TYK = 8        # Y rows per output tile
 
 
 def pallas_conv3d_available(x_shape, stride=(1, 1, 1), kernel=(3, 3, 3)) -> bool:
@@ -60,18 +60,22 @@ def pallas_conv3d_available(x_shape, stride=(1, 1, 1), kernel=(3, 3, 3)) -> bool
     return True
 
 
-def _make_kernel(Y: int, Z: int, C: int, F: int):
-    def kernel(r0_ref, r1_ref, r2_ref, w_ref, o_ref):
-        """r*_ref: (1, 1, Y+2, Z+2, C) padded input rows x-1, x, x+1;
-        w_ref: (27*C, F); o_ref: (1, 1, TYK, Z, F)."""
-        j = pl.program_id(2)
-        rows = [r0_ref, r1_ref, r2_ref]
+def _make_kernel(Z: int, C: int, F: int):
+    def kernel(*refs):
+        """9 input refs r[dx][dyb] (1, 1, TYK, Z+2, C) — Y-blocks j, j+1, j+2 of
+        the Y-overpadded volume for each of the three x rows — plus w (27*C, F)
+        and o (1, 1, TYK, Z, F). The rows needed for output Y-tile j start at
+        STATIC offset TYK-1 inside the concatenated 3-block window."""
+        rows = [refs[0:3], refs[3:6], refs[6:9]]
+        w_ref = refs[9]
+        o_ref = refs[10]
         cols = []
         for dx in range(3):
-            r = rows[dx]
+            # (3*TYK, Z+2, C) window along Y
+            win = jnp.concatenate([rows[dx][k][0, 0] for k in range(3)], axis=0)
             for dy in range(3):
                 for dz in range(3):
-                    sl = r[0, 0, pl.ds(j * TYK + dy, TYK), dz:dz + Z, :]
+                    sl = win[TYK - 1 + dy: 2 * TYK - 1 + dy, dz:dz + Z, :]
                     cols.append(sl.reshape(TYK * Z, C))
         patches = jnp.concatenate(cols, axis=1)  # (TYK*Z, 27C)
         out = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.float32)
@@ -79,27 +83,33 @@ def _make_kernel(Y: int, Z: int, C: int, F: int):
     return kernel
 
 
-def _pallas_conv3d_chunk(xp: jnp.ndarray, w2: jnp.ndarray, out_dtype,
+def _pallas_conv3d_chunk(x: jnp.ndarray, w2: jnp.ndarray, out_dtype,
                          interpret: bool = False) -> jnp.ndarray:
-    """xp: (B, X+2, Y+2, Z+2, C) zero-padded; w2: (27*C, F)."""
-    B, Xp2, Yp2, Zp2, C = xp.shape
-    X, Y, Z = Xp2 - 2, Yp2 - 2, Zp2 - 2
+    """x: (B, X, Y, Z, C) UNpadded; w2: (27*C, F)."""
+    B, X, Y, Z, C = x.shape
     F = w2.shape[-1]
+    # pad: X by (1,1) [conv halo via X-block-1 specs], Z by (1,1) [in-kernel
+    # slicing], Y by a full tile on each side so Y-blocks j..j+2 always cover
+    # rows [j*TYK - 1, j*TYK + TYK + 1) of the original grid without clipping
+    xp = jnp.pad(x, ((0, 0), (1, 1), (TYK, TYK), (1, 1), (0, 0)))
     grid = (B, X, Y // TYK)
 
-    row_block = (1, 1, Yp2, Zp2, C)
+    yblk = (1, 1, TYK, Z + 2, C)
+    in_specs = []
+    for dx in range(3):
+        for dyb in range(3):
+            in_specs.append(pl.BlockSpec(
+                yblk,
+                (lambda dx_, dyb_: lambda b, i, j: (b, i + dx_, j + dyb_, 0, 0))(dx, dyb),
+                memory_space=pltpu.VMEM,
+            ))
+    in_specs.append(pl.BlockSpec((27 * C, F), lambda b, i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
     return pl.pallas_call(
-        _make_kernel(Y, Z, C, F),
+        _make_kernel(Z, C, F),
         out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, F), out_dtype),
         grid=grid,
-        in_specs=[
-            # block size 1 along X => block indices == element rows; the three
-            # specs provide the x-1, x, x+1 halo rows
-            pl.BlockSpec(row_block, lambda b, i, j: (b, i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(row_block, lambda b, i, j: (b, i + 1, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(row_block, lambda b, i, j: (b, i + 2, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((27 * C, F), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, 1, TYK, Z, F), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
@@ -111,19 +121,18 @@ def _pallas_conv3d_chunk(xp: jnp.ndarray, w2: jnp.ndarray, out_dtype,
             + int(np.prod(w2.shape)) * w2.dtype.itemsize,
             transcendentals=0,
         ),
-    )(xp, xp, xp, w2)
+    )(*([xp] * 9), w2)
 
 
 def _pallas_conv3d_fwd_impl(x: jnp.ndarray, w: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """x (B, X, Y, Z, C); w (3, 3, 3, C, F) -> (B, X, Y, Z, F)."""
     B, X, Y, Z, C = x.shape
     F = w.shape[-1]
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     n_chunks = 1 if C <= C_CHUNK else C // C_CHUNK
     cs = C // n_chunks
     out = None
     for ci in range(n_chunks):
-        xc = xp[..., ci * cs:(ci + 1) * cs]
+        xc = x[..., ci * cs:(ci + 1) * cs]
         wc = w[:, :, :, ci * cs:(ci + 1) * cs, :].reshape(27 * cs, F)
         part = _pallas_conv3d_chunk(xc, wc, jnp.float32, interpret)
         out = part if out is None else out + part
