@@ -89,3 +89,27 @@ def test_prefetch_pipeline(tmp_path):
     batches = [next(it) for _ in range(5)]
     assert all(b["data"].shape == (2, 16, 16, 16, 1) for b in batches)
     pipe.stop()
+
+
+def test_probabilistic_oversampling_statistics(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=1, patch_size=(8, 8, 8),
+                           oversample_foreground_percent=0.4,
+                           probabilistic_oversampling=True, seed=0)
+    hits = sum(sampler._do_oversample(0) for _ in range(2000))
+    assert 0.33 < hits / 2000 < 0.47  # ~Bernoulli(0.4)
+
+
+def test_cascade_corruption_changes_prev_stage(tmp_path):
+    folder = _make_preprocessed(tmp_path)
+    ds = CaseDataset(folder)
+    sampler = PatchSampler(ds, batch_size=1, patch_size=(8, 8, 8), seed=0,
+                           cascade_corruption=True, cascade_p_binary_op=1.0,
+                           cascade_p_remove_component=1.0)
+    prev = np.zeros((12, 12, 12), dtype=np.int16)
+    prev[2:7, 2:7, 2:7] = 1
+    prev[9:11, 9:11, 9:11] = 1  # small component
+    out = sampler._corrupt_previous_stage(prev)
+    assert not np.array_equal(out, prev)  # binary op applied
+    assert set(np.unique(out)) <= {0, 1}
