@@ -62,7 +62,8 @@ def ensemble_folders(
     label_manager = plans_manager.get_label_manager(dataset_json)
 
     files_per_folder = [
-        {f[:-4] for f in os.listdir(fl) if f.endswith(".npz")}
+        {f[:-4] for f in os.listdir(fl)
+         if f.endswith(".npz") and not f.endswith(".props.npz")}
         for fl in list_of_input_folders
     ]
     common = set.intersection(*files_per_folder)
@@ -96,7 +97,7 @@ def ensemble_crossvalidations(
             if not os.path.isdir(vdir):
                 raise RuntimeError(f"expected validation folder {vdir}")
             for f in os.listdir(vdir):
-                if f.endswith(".npz"):
+                if f.endswith(".npz") and not f.endswith(".props.npz"):
                     ident = f[:-4]
                     per_case.setdefault(ident, []).append(os.path.join(vdir, f))
 

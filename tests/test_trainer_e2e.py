@@ -195,3 +195,37 @@ def test_predictor_from_trained_model_folder(trained):
     again = pred.predict_from_files(raw_images, out_dir, overwrite=False,
                                     save_probabilities=True)
     assert len(again) == 0
+
+
+def test_ensemble_folders_roundtrip(trained, tmp_path_factory):
+    """Ensembling a prediction folder with itself must reproduce the same
+    segmentations (exercises the full ensemble_folders path)."""
+    trainer, tmp_path = trained
+    pred_dir = os.path.join(str(tmp_path), "preds_from_files")
+    if not os.path.isdir(pred_dir):
+        pytest.skip("predictor test must run first")
+    import shutil
+    from anatomask_tpu.plans.plans_handler import save_json
+    # ensemble_folders needs dataset/plans json in the input folder
+    save_json(trainer.dataset_json, os.path.join(pred_dir, "dataset.json"))
+    save_json(trainer.plans_manager.plans, os.path.join(pred_dir, "plans.json"))
+    out = str(tmp_path_factory.mktemp("ens"))
+    from anatomask_tpu.ensembling.ensemble import ensemble_folders
+    ensemble_folders([pred_dir, pred_dir], out)
+    ending = trainer.dataset_json["file_ending"]
+    from anatomask_tpu.imageio.nifti import NiftiIO
+    io = NiftiIO()
+    for f in os.listdir(out):
+        if f.endswith(ending):
+            a, _ = io.read_seg(os.path.join(out, f))
+            b, _ = io.read_seg(os.path.join(pred_dir, f))
+            np.testing.assert_array_equal(a, b)
+
+
+def test_accumulate_cv_results_single_fold(trained):
+    trainer, tmp_path = trained
+    from anatomask_tpu.evaluation.find_best_configuration import accumulate_cv_results
+    out = os.path.join(str(tmp_path), "crossval_merged")
+    metrics = accumulate_cv_results(trainer.output_folder_base, out, folds=[0])
+    assert "Dice" in metrics["foreground_mean"]
+    assert os.path.isfile(os.path.join(out, "summary.json"))
