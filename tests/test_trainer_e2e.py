@@ -202,8 +202,14 @@ def test_ensemble_folders_roundtrip(trained, tmp_path_factory):
     segmentations (exercises the full ensemble_folders path)."""
     trainer, tmp_path = trained
     pred_dir = os.path.join(str(tmp_path), "preds_from_files")
-    if not os.path.isdir(pred_dir):
-        pytest.skip("predictor test must run first")
+    if not os.path.isdir(pred_dir):  # self-sufficient: produce predictions
+        from anatomask_tpu.inference.predictor import Predictor
+        from anatomask_tpu import paths
+        pred = Predictor(tile_batch_size=1)
+        pred.initialize_from_trained_model_folder(trainer.output_folder_base, use_folds=[0])
+        pred.predict_from_files(
+            os.path.join(paths.require("raw"), "Dataset903_E2E", "imagesTr"),
+            pred_dir, save_probabilities=True)
     import shutil
     from anatomask_tpu.plans.plans_handler import save_json
     # ensemble_folders needs dataset/plans json in the input folder
@@ -224,6 +230,8 @@ def test_ensemble_folders_roundtrip(trained, tmp_path_factory):
 
 def test_accumulate_cv_results_single_fold(trained):
     trainer, tmp_path = trained
+    if not os.path.isdir(os.path.join(trainer.output_folder, "validation")):
+        trainer.perform_actual_validation(save_probabilities=True)
     from anatomask_tpu.evaluation.find_best_configuration import accumulate_cv_results
     out = os.path.join(str(tmp_path), "crossval_merged")
     metrics = accumulate_cv_results(trainer.output_folder_base, out, folds=[0])
