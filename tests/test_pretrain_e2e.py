@@ -118,3 +118,23 @@ def test_ssl_weights_transfer_to_stunet(prepared):
         np.array_equal(flat_new[k], flat_old[k])
         for k in flat_new if "conv_blocks_localization" in k
     )
+
+
+def test_pretrain_resume(prepared):
+    """--continue resumes from checkpoint_latest at the saved epoch."""
+    from dataclasses import replace
+    from anatomask_tpu.ssl.pretrain import PretrainTrainer
+    import jax
+
+    cfg = replace(_tiny_cfg("anatomask"), num_epochs=1)
+    t = PretrainTrainer("Dataset904_PT", cfg,
+                        output_folder=None)
+    t.output_folder = t.output_folder + "_resume"
+    import os
+    os.makedirs(t.output_folder, exist_ok=True)
+    t.run_pretraining()
+    # extend epochs and resume
+    t2 = PretrainTrainer("Dataset904_PT", replace(cfg, num_epochs=2))
+    t2.output_folder = t.output_folder
+    history = t2.run_pretraining(continue_training=True)
+    assert t2.current_epoch == 1  # resumed at epoch 1, ran the second epoch
