@@ -38,7 +38,7 @@ def test_supervised_training_learns(tmp_path):
 
     from anatomask_tpu.training.trainer import Trainer, TrainerConfig
     cfg = TrainerConfig(
-        name="ATKTrainerConvT", num_epochs=3, num_iterations_per_epoch=25,
+        name="ATKTrainerConvT", num_epochs=2, num_iterations_per_epoch=20,
         num_val_iterations_per_epoch=5, compute_dtype="float32", num_workers=1,
         initial_lr=1e-2, do_data_augmentation=False,  # isolate the learning signal
     )
@@ -64,7 +64,7 @@ def test_pretraining_reduces_reconstruction_loss(tmp_path):
     from anatomask_tpu.ssl.pretrain import PretrainConfig, PretrainTrainer
     cfg = PretrainConfig(
         method="anatomask", model_size="S", patch_size=(16, 16, 16), batch_size=4,
-        num_epochs=4, iters_per_epoch=15, compute_dtype="float32",
+        num_epochs=3, iters_per_epoch=12, compute_dtype="float32",
         encoder_dims=(8, 16, 16), encoder_depth=(1, 1, 1), decoder_width=16,
         num_workers=1, warmup_epochs=1, lr=3e-3,
     )
