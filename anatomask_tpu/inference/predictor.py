@@ -272,18 +272,30 @@ class Predictor:
         rw = self.plans_manager.image_reader_writer_class()
         pp = self.configuration_manager.preprocessor_class(verbose=self.verbose)
         results = []
-        # export runs off-thread so the device can start the next case
-        with ThreadPoolExecutor(max_workers=max(1, num_processes_segmentation_export)) as export_pool:
+
+        def _load_and_preprocess(image_files, prev_file):
+            data, props = rw.read_images(image_files)
+            seg_prev = rw.read_seg(prev_file)[0][0] if prev_file else None
+            data_pp, _ = pp.run_case_npy(
+                data, None, props, self.plans_manager, self.configuration_manager,
+                self.dataset_json,
+            )
+            if seg_prev is not None:
+                data_pp = self._stack_previous_stage(data_pp, seg_prev)
+            return data_pp, props
+
+        # preprocessing is prefetched in background threads and export runs
+        # off-thread, so the device pipeline never waits on host I/O
+        # (reference: preprocessing_iterator_fromfiles + async export pool)
+        with ThreadPoolExecutor(max_workers=max(1, num_processes_segmentation_export)) as export_pool, \
+                ThreadPoolExecutor(max_workers=max(1, num_processes_preprocessing)) as pp_pool:
+            pp_futures = [
+                pp_pool.submit(_load_and_preprocess, image_files, prev_file)
+                for image_files, prev_file in zip(lists, prev_files)
+            ]
             futures = []
-            for image_files, out_file, prev_file in zip(lists, out_files, prev_files):
-                data, props = rw.read_images(image_files)
-                seg_prev = rw.read_seg(prev_file)[0][0] if prev_file else None
-                data_pp, _ = pp.run_case_npy(
-                    data, None, props, self.plans_manager, self.configuration_manager,
-                    self.dataset_json,
-                )
-                if seg_prev is not None:
-                    data_pp = self._stack_previous_stage(data_pp, seg_prev)
+            for pp_future, out_file in zip(pp_futures, out_files):
+                data_pp, props = pp_future.result()
                 logits = self.predict_sliding_window_return_logits(data_pp)
                 if out_file is not None:
                     futures.append(export_pool.submit(
