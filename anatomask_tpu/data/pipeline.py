@@ -31,13 +31,24 @@ class PrefetchPipeline:
         self._stop = threading.Event()
         self._threads = []
         self._started = False
-        self._lock = threading.Lock()
 
-    def _worker(self):
+    def _clone_sampler(self, worker_id: int):
+        """Per-worker sampler copy with an independent RNG stream so workers
+        sample in parallel (numpy RandomState is not thread-safe; with a single
+        worker the original sampler is used, keeping runs reproducible)."""
+        if self.num_workers == 1:
+            return self.sampler
+        import copy
+        clone = copy.copy(self.sampler)
+        base_seed = self.sampler.rng.randint(0, 2 ** 31 - 1)
+        clone.rng = np.random.RandomState(base_seed + worker_id)
+        return clone
+
+    def _worker(self, worker_id: int = 0):
+        sampler = self._clone_sampler(worker_id)
         while not self._stop.is_set():
             try:
-                with self._lock:
-                    batch = self.sampler.generate_batch()
+                batch = sampler.generate_batch()
             except Exception as e:  # surface worker death to the consumer
                 self.queue.put(e)
                 return
@@ -55,8 +66,8 @@ class PrefetchPipeline:
         if self._started:
             return
         self._started = True
-        for _ in range(self.num_workers):
-            t = threading.Thread(target=self._worker, daemon=True)
+        for w in range(self.num_workers):
+            t = threading.Thread(target=self._worker, args=(w,), daemon=True)
             t.start()
             self._threads.append(t)
 
