@@ -75,14 +75,17 @@ class CaseDataset:
     def load_case(self, key: str) -> Tuple[np.ndarray, np.ndarray, dict]:
         entry = self.dataset[key]
         base = entry["data_file"][:-4]
+        data = seg = None
         if os.path.isfile(base + ".npy"):
             data = np.load(base + ".npy", mmap_mode="r")
-        else:
-            data = np.load(entry["data_file"])["data"]
         if os.path.isfile(base + "_seg.npy"):
             seg = np.load(base + "_seg.npy", mmap_mode="r")
-        else:
-            seg = np.load(entry["data_file"])["seg"]
+        if data is None or seg is None:
+            with np.load(entry["data_file"]) as z:
+                if data is None:
+                    data = z["data"]
+                if seg is None:
+                    seg = z["seg"]
         properties = load_properties(entry["properties_file"])
 
         if self.folder_with_segs_from_previous_stage is not None:

@@ -88,10 +88,18 @@ def compute_metrics_on_folder(
     files_ref = [os.path.join(folder_ref, f) for f in files_pred]
     files_pred_full = [os.path.join(folder_pred, f) for f in files_pred]
 
-    results = [
-        compute_metrics(r, p, image_reader_writer, labels_or_regions, ignore_label)
-        for r, p in zip(files_ref, files_pred_full)
-    ]
+    if num_processes > 1 and len(files_pred_full) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=num_processes) as ex:
+            results = list(ex.map(
+                lambda rp: compute_metrics(rp[0], rp[1], image_reader_writer,
+                                           labels_or_regions, ignore_label),
+                list(zip(files_ref, files_pred_full))))
+    else:
+        results = [
+            compute_metrics(r, p, image_reader_writer, labels_or_regions, ignore_label)
+            for r, p in zip(files_ref, files_pred_full)
+        ]
 
     metric_list = list(results[0]["metrics"][list(results[0]["metrics"].keys())[0]].keys()) if results else []
     means = {}
