@@ -148,6 +148,8 @@ def pretrain_entry(argv: Optional[List[str]] = None):
     p.add_argument("-batch_size", type=int, default=4)
     p.add_argument("-mask_ratio", type=float, default=0.6)
     p.add_argument("-epochs", type=int, default=1000)
+    p.add_argument("-iters_per_epoch", type=int, default=None)
+    p.add_argument("-compute_dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("-lr", type=float, default=None)
     p.add_argument("-p", default="ATKPlans")
     p.add_argument("-c", dest="configuration", default="3d_fullres")
@@ -160,6 +162,7 @@ def pretrain_entry(argv: Optional[List[str]] = None):
     cfg = PretrainConfig(
         method=a.method, model_size=a.model, patch_size=tuple(a.patch_size),
         batch_size=a.batch_size, mask_ratio=a.mask_ratio, num_epochs=a.epochs,
+        iters_per_epoch=a.iters_per_epoch, compute_dtype=a.compute_dtype,
         lr=lr, guide=not a.no_guide,
     )
     PretrainTrainer(a.dataset_name_or_id, cfg, a.p, a.configuration, a.fold).run_pretraining(

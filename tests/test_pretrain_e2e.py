@@ -138,3 +138,37 @@ def test_pretrain_resume(prepared):
     t2.output_folder = t.output_folder
     history = t2.run_pretraining(continue_training=True)
     assert t2.current_epoch == 1  # resumed at epoch 1, ran the second epoch
+
+
+def test_cli_pretrain_full_stunet_head(tmp_path):
+    """The user-facing CLI path with the REAL STUNet-S head (5 stages, /16):
+    plan+preprocess via CLI, then atk_pretrain."""
+    raw, pp, res = setup_env(tmp_path)
+    make_synthetic_dataset(raw, "Dataset942_CLI", num_cases=5, shape=(20, 22, 24))
+    from anatomask_tpu.cli import plan_and_preprocess_entry, pretrain_entry
+    plan_and_preprocess_entry(["-d", "942", "-c", "3d_fullres", "-np", "1"])
+    pretrain_entry(["942", "-method", "anatomask", "-model", "S",
+                    "-patch_size", "16", "16", "16", "-batch_size", "2",
+                    "-epochs", "1", "-iters_per_epoch", "2",
+                    "-compute_dtype", "float32"])
+    out = os.path.join(res, "Dataset942_CLI", "pretrain_anatomask_S")
+    assert os.path.isfile(os.path.join(out, "checkpoint_final.npz"))
+    assert os.path.isfile(os.path.join(out, "S_head_latest.npz"))
+    # the head's 5-stage encoder transfers into a full STUNet-S
+    import jax, jax.numpy as jnp
+    from anatomask_tpu.models.stunet import stunet_preset
+    from anatomask_tpu.training.checkpoint import (
+        flatten_tree, load_checkpoint, transfer_ssl_encoder_weights,
+    )
+    net = stunet_preset("small", 1, 2)
+    params = jax.tree_util.tree_map(
+        np.asarray,
+        net.init(jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 32, 1)))["params"])
+    arrays, _ = load_checkpoint(os.path.join(out, "checkpoint_final.npz"))
+    merged = transfer_ssl_encoder_weights(params, arrays["network_weights"]["sparse_encoder"])
+    flat_ssl = flatten_tree(arrays["network_weights"]["sparse_encoder"])
+    flat_m = flatten_tree(merged)
+    hits = [k for k in flat_ssl
+            if "conv_blocks_context" in k and k in flat_m
+            and np.array_equal(flat_m[k], flat_ssl[k])]
+    assert len(hits) >= 30  # all 5 encoder stages transferred
