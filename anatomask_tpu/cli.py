@@ -13,6 +13,16 @@ import argparse
 import os
 from typing import List, Optional
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honor it explicitly so
+# `JAX_PLATFORMS=cpu atk_train ...` really runs on CPU (same workaround as
+# tests/conftest.py and __graft_entry__.py).
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from anatomask_tpu.plans.plans_handler import load_json
 
 
@@ -116,6 +126,8 @@ def train_entry(argv: Optional[List[str]] = None):
     p.add_argument("--disable_checkpointing", action="store_true")
     a = p.parse_args(argv)
 
+    from anatomask_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()  # multi-host: DCN across hosts, one SPMD program
     from anatomask_tpu.paths import require
     from anatomask_tpu.training.trainer import Trainer, get_trainer_config
     from anatomask_tpu.utils.helpers import maybe_convert_to_dataset_name
@@ -156,14 +168,20 @@ def pretrain_entry(argv: Optional[List[str]] = None):
     p.add_argument("-fold", type=int, default=0)
     p.add_argument("--no_guide", action="store_true", help="disable easy-to-hard curriculum")
     p.add_argument("--continue", action="store_true", dest="continue_training")
+    p.add_argument("-grad_accum", type=int, default=2,
+                   help="microbatch gradient-accumulation steps (exact for "
+                        "per-sample norms; 2 fits the reference STUNet-B bs-4 "
+                        "112x112x128 workload in 16G HBM)")
     a = p.parse_args(argv)
+    from anatomask_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed()
     from anatomask_tpu.ssl.pretrain import PretrainConfig, PretrainTrainer
     lr = a.lr if a.lr is not None else (2e-4 if a.method == "spark" else 1e-4)
     cfg = PretrainConfig(
         method=a.method, model_size=a.model, patch_size=tuple(a.patch_size),
         batch_size=a.batch_size, mask_ratio=a.mask_ratio, num_epochs=a.epochs,
         iters_per_epoch=a.iters_per_epoch, compute_dtype=a.compute_dtype,
-        lr=lr, guide=not a.no_guide,
+        lr=lr, guide=not a.no_guide, grad_accum_steps=a.grad_accum,
     )
     PretrainTrainer(a.dataset_name_or_id, cfg, a.p, a.configuration, a.fold).run_pretraining(
         continue_training=a.continue_training)

@@ -289,13 +289,23 @@ class Predictor:
         # (reference: preprocessing_iterator_fromfiles + async export pool)
         with ThreadPoolExecutor(max_workers=max(1, num_processes_segmentation_export)) as export_pool, \
                 ThreadPoolExecutor(max_workers=max(1, num_processes_preprocessing)) as pp_pool:
-            pp_futures = [
-                pp_pool.submit(_load_and_preprocess, image_files, prev_file)
-                for image_files, prev_file in zip(lists, prev_files)
-            ]
+            # bounded prefetch window: at most num_processes_preprocessing + 1
+            # cases in flight, so completed fp32 volumes cannot accumulate
+            # unboundedly ahead of the sequential prediction consumer
+            # (reference bounds its preprocessing queue the same way).
+            window = max(1, num_processes_preprocessing) + 1
+            work = list(zip(lists, prev_files))
+            pp_futures = [pp_pool.submit(_load_and_preprocess, im, pv)
+                          for im, pv in work[:window]]
+            next_submit = len(pp_futures)
             futures = []
-            for pp_future, out_file in zip(pp_futures, out_files):
-                data_pp, props = pp_future.result()
+            for i, out_file in enumerate(out_files):
+                data_pp, props = pp_futures[i].result()
+                pp_futures[i] = None  # release the preprocessed volume
+                if next_submit < len(work):
+                    pp_futures.append(pp_pool.submit(
+                        _load_and_preprocess, *work[next_submit]))
+                    next_submit += 1
                 logits = self.predict_sliding_window_return_logits(data_pp)
                 if out_file is not None:
                     futures.append(export_pool.submit(

@@ -29,6 +29,22 @@ import numpy as np
 from anatomask_tpu.inference.gaussian import compute_gaussian
 
 
+def _device_memory_errors() -> tuple:
+    """Exception classes that can signal device memory exhaustion."""
+    errs = [MemoryError]
+    try:
+        from jax.errors import JaxRuntimeError
+        errs.append(JaxRuntimeError)
+    except ImportError:
+        pass
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError  # older jaxlib
+        errs.append(XlaRuntimeError)
+    except ImportError:
+        pass
+    return tuple(errs)
+
+
 def compute_steps_for_sliding_window(
     image_size: Sequence[int], tile_size: Sequence[int], tile_step_size: float
 ) -> List[List[int]]:
@@ -165,9 +181,15 @@ def sliding_window_predict(
                 data_padded, slicer_to_undo, spatial, origins, gaussian,
                 jitted, tile_size, num_output_channels, tile_batch_size,
             )
-        except Exception as e:  # device OOM etc. -> host accumulation
+        except _device_memory_errors() as e:
+            # ONLY resource exhaustion falls back to the host accumulator
+            # (reference spills fp16 accumulators to CPU on GPU OOM); genuine
+            # bugs in the tile fn must surface, not be masked by the slow path
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e) \
+                    and "exceeds the" not in str(e):
+                raise
             if verbose:
-                print(f"device accumulation failed ({type(e).__name__}); using host path")
+                print(f"device accumulation OOM ({type(e).__name__}); using host path")
 
     logits = np.zeros((num_output_channels, *spatial), dtype=np.float32)
     weights = np.zeros(spatial, dtype=np.float32)

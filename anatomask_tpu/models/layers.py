@@ -26,6 +26,49 @@ def he_normal_leaky(negative_slope: float = 1e-2):
     return nn.initializers.variance_scaling(gain, "fan_in", "normal")
 
 
+class _ConvInner(nn.Module):
+    """Conv core with the z2d TPU lowering (ops/conv_lowering.py) for hot 3D
+    shapes and the native XLA conv otherwise. Parameter tree ("kernel"/"bias",
+    shapes (k..., cin, features)) is IDENTICAL to flax nn.Conv, so checkpoints
+    and torch-interop adapters are unaffected by the lowering choice."""
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[Tuple[int, int], ...]
+    use_bias: bool
+    dtype: jnp.dtype
+    param_dtype: jnp.dtype
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        from anatomask_tpu.ops.conv_lowering import conv3d_z2d, use_z2d
+        ks = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", self.kernel_init,
+                            (*ks, cin, self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        out_spatial = [
+            (x.shape[1 + i] + sum(self.padding[i]) - ks[i]) // self.strides[i] + 1
+            for i in range(len(ks))
+        ]
+        if len(ks) == 3 and use_z2d(ks, out_spatial):
+            y = conv3d_z2d(x, kernel, self.strides, self.padding)
+        else:
+            nd = len(ks)
+            spatial = "DHW"[-nd:] if nd <= 3 else None
+            dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+            y = jax.lax.conv_general_dilated(
+                x, kernel, self.strides, list(self.padding),
+                dimension_numbers=dn)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvND(nn.Module):
     """Convolution with torch-style symmetric k//2 padding ('torch_same'),
     or explicit padding. kernel_size/strides are per-spatial-dim sequences."""
@@ -45,8 +88,8 @@ class ConvND(nn.Module):
         if self.padding == "torch_same":
             padding = tuple((k // 2, k // 2) for k in ks)
         else:
-            padding = self.padding
-        return nn.Conv(
+            padding = tuple(tuple(p) for p in self.padding)
+        return _ConvInner(
             features=self.features,
             kernel_size=ks,
             strides=strides,

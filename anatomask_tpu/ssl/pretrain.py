@@ -86,6 +86,13 @@ class PretrainConfig:
     seed: int = 42
     save_every: int = 1
     remat: bool = False                  # gradient checkpointing (GC.py parity)
+    # microbatch gradient accumulation: every norm in the pretraining path is
+    # per-sample (InstanceNorm/LayerNorm), so accumulating microbatch grads is
+    # EXACTLY the full-batch gradient while halving/quartering the activation
+    # peak (the reference bs-4 112x112x128 STUNet-B workload needs 2 to fit
+    # 16G HBM). NOT exact for densify_norm="bn" (cross-sample stats).
+    grad_accum_steps: int = 1
+    scale_batch_to_devices: bool = True  # same policy as TrainerConfig
     # override the encoder topology (None -> STUNet head presets; used for
     # small-scale tests and research variants)
     encoder_dims: Optional[Tuple[int, ...]] = None
@@ -191,6 +198,35 @@ class PretrainTrainer:
         train = [tr_keys[i] for i in idx[n_val:]]
         return train, val
 
+    def _mesh_spec(self):
+        """(mesh, n_shards, global_batch) — cached; needed by both the sampler
+        construction and the jitted steps."""
+        if not hasattr(self, "mesh") or self.mesh is None:
+            self.mesh, self.n_shards, self.global_batch_size = pick_mesh_for_batch(
+                self.cfg.batch_size,
+                scale_batch_to_devices=self.cfg.scale_batch_to_devices,
+                log=self.print_to_log_file)
+        return self.mesh, self.n_shards, self.global_batch_size
+
+    def _host_batch_spec(self) -> Tuple[int, float]:
+        _, n_shards, global_bs = self._mesh_spec()
+        nproc = jax.process_count()
+        if nproc == 1:
+            return global_bs, self.cfg.oversample_foreground_percent
+        if global_bs % n_shards != 0:
+            raise RuntimeError(
+                f"multi-host pretraining needs global batch ({global_bs}) divisible "
+                f"by the device count ({n_shards}); enable scale_batch_to_devices")
+        from anatomask_tpu.parallel.mesh import compute_shard_batch_and_oversample
+        return compute_shard_batch_and_oversample(
+            global_bs, self.cfg.oversample_foreground_percent,
+            jax.process_index(), nproc)
+
+    def _to_global(self, arr) -> jax.Array:
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        return jax.make_array_from_process_local_data(self._bsh, np.asarray(arr))
+
     def get_dataloaders(self):
         train_keys, val_keys = self._split_keys()
         ds_tr = CaseDataset(self.preprocessed_folder, train_keys)
@@ -212,18 +248,21 @@ class PretrainTrainer:
         )
         self.val_patch = patch
         annotated_key = tuple(self.label_manager.all_labels)
+        local_bs, local_os = self._host_batch_spec()
         self.sampler_train = PatchSampler(
-            ds_tr, self.cfg.batch_size, tuple(int(i) for i in initial_patch),
+            ds_tr, local_bs, tuple(int(i) for i in initial_patch),
             final_patch_size=patch,
-            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            oversample_foreground_percent=local_os,
             annotated_classes_key=annotated_key,
-            has_ignore=self.label_manager.has_ignore_label, seed=self.cfg.seed,
+            has_ignore=self.label_manager.has_ignore_label,
+            seed=self.cfg.seed + 131071 * jax.process_index(),
         )
         self.sampler_val = PatchSampler(
-            ds_val, self.cfg.batch_size, patch, final_patch_size=patch,
-            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            ds_val, local_bs, patch, final_patch_size=patch,
+            oversample_foreground_percent=local_os,
             annotated_classes_key=annotated_key,
-            has_ignore=self.label_manager.has_ignore_label, seed=self.cfg.seed + 1,
+            has_ignore=self.label_manager.has_ignore_label,
+            seed=self.cfg.seed + 1 + 131071 * jax.process_index(),
         )
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
@@ -265,10 +304,19 @@ class PretrainTrainer:
 
     def _build_steps(self):
         cfg = self.cfg
-        mesh, n_shards = pick_mesh_for_batch(cfg.batch_size)
-        self.mesh, self.n_shards = mesh, n_shards
+        mesh, n_shards, global_bs = self._mesh_spec()
+        micro = max(1, int(cfg.grad_accum_steps))
+        while micro > 1 and (global_bs % micro != 0
+                             or (global_bs // micro) % n_shards != 0):
+            micro -= 1
+        if micro != cfg.grad_accum_steps:
+            self.print_to_log_file(
+                f"[accum] grad_accum_steps adjusted {cfg.grad_accum_steps} -> {micro} "
+                f"(global batch {global_bs}, {n_shards} shards)")
+        self.grad_accum_steps = micro
         repl = NamedSharding(mesh, P())
         bsh = NamedSharding(mesh, P("data"))
+        self._bsh = bsh
         augment_fn = make_train_augment_fn(self.aug_config)
         model = self.model
         optimizer = self.optimizer
@@ -279,37 +327,62 @@ class PretrainTrainer:
                 data, _ = augment_fn(rng, data, seg)
             return data.astype(dtype)
 
+        def _microbatches(x):
+            mb = x.shape[0] // micro
+            return [x[i * mb:(i + 1) * mb] for i in range(micro)]
+
+        def _accumulate(micro_grads_fn, x, keys):
+            """Unrolled microbatch accumulation (exact: per-sample norms only).
+            Simpler XLA program than lax.scan; micro is small (1-4)."""
+            grads, losses = None, []
+            for i, xb in enumerate(_microbatches(x)):
+                loss_i, g_i = micro_grads_fn(keys[i], xb)
+                grads = g_i if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g_i)
+                losses.append(loss_i)
+            grads = jax.tree_util.tree_map(lambda g: g / micro, grads)
+            return grads, jnp.mean(jnp.stack(losses))
+
         def spark_step(params, opt_state, rng, data, seg):
-            k_aug, k_mask = jax.random.split(rng)
+            k_aug, *keys = jax.random.split(rng, micro + 1)
             x = prep(k_aug, data, seg)
-            active = model.mask(k_mask, x.shape[0])
 
-            def loss_fn(p):
-                inp, rec = model.apply({"params": p}, x, active)
-                return spark_loss(inp, rec, active)[0]
+            def micro_grads(k, xb):
+                active = model.mask(k, xb.shape[0])
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                def loss_fn(p):
+                    inp, rec = model.apply({"params": p}, xb, active)
+                    return spark_loss(inp, rec, active)[0]
+
+                return jax.value_and_grad(loss_fn)(params)
+
+            grads, loss = _accumulate(micro_grads, x, keys)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, loss
 
         def anatomask_step(params, ema_params, opt_state, rng, data, seg,
                            ema_decay, len_loss):
-            k_aug, k_mask1, k_mask2 = jax.random.split(rng, 3)
+            k_aug, *keys = jax.random.split(rng, micro + 1)
             x = prep(k_aug, data, seg)
-            B = x.shape[0]
-            # teacher pass under a random mask
-            mask1 = model.mask(k_mask1, B)
-            inp1, rec1 = model.apply({"params": jax.lax.stop_gradient(ema_params)}, x, mask1)
-            _, teacher_loss_map = spark_loss(inp1, rec1, mask1)
-            hard_mask, _ = generate_guided_mask(
-                k_mask2, teacher_loss_map, model.fmap, model.len_keep, len_loss)
 
-            def loss_fn(p):
-                inp, rec = model.apply({"params": p}, x, hard_mask)
-                return spark_loss(inp, rec, hard_mask)[0]
+            def micro_grads(k, xb):
+                k_mask1, k_mask2 = jax.random.split(k)
+                # teacher pass under a random mask
+                mask1 = model.mask(k_mask1, xb.shape[0])
+                inp1, rec1 = model.apply(
+                    {"params": jax.lax.stop_gradient(ema_params)}, xb, mask1)
+                _, teacher_loss_map = spark_loss(inp1, rec1, mask1)
+                hard_mask, _ = generate_guided_mask(
+                    k_mask2, teacher_loss_map, model.fmap, model.len_keep, len_loss)
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+                def loss_fn(p):
+                    inp, rec = model.apply({"params": p}, xb, hard_mask)
+                    return spark_loss(inp, rec, hard_mask)[0]
+
+                return jax.value_and_grad(loss_fn)(params)
+
+            grads, loss = _accumulate(micro_grads, x, keys)
             updates, new_opt = optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             new_ema = ema_update(ema_params, new_params, ema_decay)
@@ -412,12 +485,12 @@ class PretrainTrainer:
                     if cfg.method == "spark":
                         self.params, self.opt_state, loss = self._spark_step(
                             self.params, self.opt_state, sub,
-                            jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]))
+                            self._to_global(batch["data"]), self._to_global(batch["seg"]))
                         self.ema_params = self.params
                     else:
                         self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
                             self.params, self.ema_params, self.opt_state, sub,
-                            jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]),
+                            self._to_global(batch["data"]), self._to_global(batch["seg"]),
                             jnp.float32(ema_decay), jnp.int32(len_loss))
                     self.step_counter += 1
                     losses.append(loss)
@@ -434,7 +507,8 @@ class PretrainTrainer:
                     batch = next(val_iter)
                     rng, sub = jax.random.split(rng)
                     vlosses.append(self._val_step(
-                        self.params, sub, jnp.asarray(batch["data"]), jnp.asarray(batch["seg"])))
+                        self.params, sub, self._to_global(batch["data"]),
+                        self._to_global(batch["seg"])))
                 val_loss = float(np.mean(jax.device_get(vlosses)))
 
                 history["train_loss"].append(train_loss)

@@ -91,17 +91,46 @@ class SparseInstanceNorm(nn.Module):
 class SparseBatchNorm(nn.Module):
     """Active-voxel-only BatchNorm over (batch, spatial) (reference
     SparseBatchNorm3d = gather->BN1d->scatter). Under a sharded global batch the
-    stats are global (== SyncBN). Training-mode batch statistics; running stats
-    are unnecessary for the pretraining path that uses it."""
+    stats are global (== SyncBN). With track_running_stats=True, running
+    statistics live in the "batch_stats" collection (updated when that
+    collection is mutable, i.e. apply(..., mutable=["batch_stats"])) and
+    use_running_average=True switches to them for inference-style eval. The
+    default stays a pure training-mode function (the shipped pretraining
+    path)."""
     epsilon: float = 1e-5
     affine: bool = True
+    momentum: float = 0.9
+    track_running_stats: bool = False
+    use_running_average: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, active):
+    def __call__(self, x, active, use_running_average: Optional[bool] = None):
+        ura = (self.use_running_average if use_running_average is None
+               else use_running_average)
+        c = x.shape[-1]
         m = mask_to_resolution(active, x.shape[1:4])
-        mean, var = _masked_moments(x, m, axes=(0, 1, 2, 3))
+        if ura and not self.track_running_stats:
+            raise ValueError(
+                "SparseBatchNorm(use_running_average=True) requires "
+                "track_running_stats=True (no running statistics are tracked "
+                "in the default training-mode configuration)")
+        if self.track_running_stats:
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((c,), jnp.float32))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((c,), jnp.float32))
+        if ura:
+            mean = ra_mean.value.reshape(1, 1, 1, 1, c)
+            var = ra_var.value.reshape(1, 1, 1, 1, c)
+        else:
+            mean, var = _masked_moments(x, m, axes=(0, 1, 2, 3))
+            if (self.track_running_stats and not self.is_initializing()
+                    and self.is_mutable_collection("batch_stats")):
+                mom = self.momentum
+                ra_mean.value = mom * ra_mean.value + (1 - mom) * mean.reshape(c)
+                ra_var.value = mom * ra_var.value + (1 - mom) * var.reshape(c)
         a = jax.lax.rsqrt(var + self.epsilon)
         b = -mean * a
         if self.affine:

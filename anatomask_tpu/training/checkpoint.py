@@ -185,10 +185,20 @@ def convert_torch_stunet_state_dict(state_dict: dict) -> dict:
     return tree
 
 
-def load_torch_checkpoint_file(path: str) -> dict:
-    """Load a torch .pth/.pt checkpoint (CPU) and return its network weights dict."""
+def load_torch_checkpoint_file(path: str, allow_pickle: bool = False) -> dict:
+    """Load a torch .pth/.pt checkpoint (CPU) and return its network weights
+    dict. Tries weights_only=True first (no arbitrary pickle execution from
+    externally produced files); legacy pickled checkpoints require an explicit
+    allow_pickle=True opt-in."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        if not allow_pickle:
+            raise RuntimeError(
+                f"{path} is not loadable with weights_only=True; pass "
+                f"allow_pickle=True to opt into full (unsafe) unpickling: {e}")
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(ckpt, dict):
         for key in ("network_weights", "state_dict", "model"):
             if key in ckpt:

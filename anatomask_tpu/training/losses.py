@@ -111,7 +111,9 @@ def topk_loss(
     k_percent: float = 10.0,
     loss_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Mean CE over the hardest k%% of voxels (reference TopKLoss)."""
+    """Mean CE over the hardest k%% of voxels. The reference TopKLoss flattens
+    the ENTIRE batch (res.view(-1)) before top-k, so hard voxels concentrate
+    wherever they occur, not per-sample."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     t = jnp.clip(target.astype(jnp.int32), 0, logits.shape[-1] - 1)
     nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
@@ -120,8 +122,8 @@ def topk_loss(
         if m.ndim == nll.ndim + 1:
             m = m[..., 0]
         nll = nll * m
-    flat = nll.reshape(nll.shape[0], -1)
-    k = max(1, int(flat.shape[1] * k_percent / 100))
+    flat = nll.reshape(-1)
+    k = max(1, int(flat.shape[0] * k_percent / 100))
     top = jax.lax.top_k(flat, k)[0]
     return jnp.mean(top)
 
@@ -133,8 +135,11 @@ def bce_loss(logits: jnp.ndarray, target: jnp.ndarray,
     target = target.astype(jnp.float32)
     per = jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
     if loss_mask is not None:
+        # reference DC_and_BCE_loss: (ce * mask).sum() / clip(mask.sum(), 1e-8)
+        # -- the denominator counts valid VOXELS (mask broadcasts over the K
+        # region channels), not voxels*K.
         m = loss_mask.astype(jnp.float32)
-        return jnp.sum(per * m) / jnp.clip(jnp.sum(m) * per.shape[-1], 1e-8)
+        return jnp.sum(per * m) / jnp.clip(jnp.sum(m), 1e-8)
     return jnp.mean(per)
 
 

@@ -97,6 +97,17 @@ class TrainerConfig:
     benchmark_no_dataloading: bool = False # GPU/TPU-only throughput (dummy batch)
     num_workers: Optional[int] = None
     seed: int = 12345
+    # explicit variant switches (reference subclasses nnUNetTrainerDA5 /
+    # nnUNetTrainerDAOrd0 / nnUNetTrainerBN); fields, not name-string dispatch,
+    # so renamed or user-defined configs keep the behavior
+    aggressive_da: bool = False            # DA5-style augmentation stack
+    order0_data_interp: bool = False       # nearest-neighbor data resampling in DA
+    network_norm: str = "instance"         # instance | batch
+    # device-mesh policy: when the plans batch size doesn't divide the device
+    # count, scale the GLOBAL batch up to the next multiple so every device is
+    # used (logged loudly). False = reference-faithful batch at the cost of
+    # idle devices.
+    scale_batch_to_devices: bool = True
 
 
 def stunet_trainer_config(size: str = "B", **overrides) -> TrainerConfig:
@@ -144,9 +155,9 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
     "ATKTrainerBenchmark_5epochs_noDataLoading": TrainerConfig(
         name="ATKTrainerBenchmark_5epochs_noDataLoading", num_epochs=5, benchmark=True,
         benchmark_no_dataloading=True),
-    "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5"),  # aggressive aug incl elastic, see initialize()
-    "ATKTrainerDAOrd0": TrainerConfig(name="ATKTrainerDAOrd0"),  # nearest data interp, see initialize()
-    "ATKTrainerBN": TrainerConfig(name="ATKTrainerBN"),  # BatchNorm network, see initialize()
+    "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5", aggressive_da=True),
+    "ATKTrainerDAOrd0": TrainerConfig(name="ATKTrainerDAOrd0", order0_data_interp=True),
+    "ATKTrainerBN": TrainerConfig(name="ATKTrainerBN", network_norm="batch"),
     "STUNetTrainer_small": stunet_trainer_config("S"),
     "STUNetTrainer_base": stunet_trainer_config("B"),
     "STUNetTrainer_large": stunet_trainer_config("L"),
@@ -193,13 +204,31 @@ def promote_2d_configuration(cfg: dict) -> dict:
     return out
 
 
-def pick_mesh_for_batch(batch_size: int) -> Tuple[Mesh, int]:
-    """Largest divisor of batch_size <= device count -> Mesh(('data',))."""
+def pick_mesh_for_batch(batch_size: int, scale_batch_to_devices: bool = False,
+                        log=print) -> Tuple[Mesh, int, int]:
+    """Data-parallel Mesh(('data',)) over ALL global devices when possible.
+
+    Returns (mesh, n_shards, global_batch_size). If batch_size doesn't divide
+    the device count: with scale_batch_to_devices the GLOBAL batch is scaled up
+    to the next multiple of the device count (every device used; logged), else
+    the mesh shrinks to the largest divisor (devices idle; warned loudly).
+    Replaces the reference's per-rank batch partition
+    (nnUNetTrainer._set_batch_size_and_oversample, :295-340)."""
     devices = jax.devices()
     n = len(devices)
-    while batch_size % n != 0:
-        n -= 1
-    return Mesh(np.array(devices[:n]), ("data",)), n
+    global_batch = batch_size
+    if batch_size % n != 0:
+        if scale_batch_to_devices:
+            global_batch = ((batch_size + n - 1) // n) * n
+            log(f"[mesh] global batch scaled {batch_size} -> {global_batch} to use "
+                f"all {n} devices (plans batch does not divide the device count)")
+        else:
+            while batch_size % n != 0:
+                n -= 1
+            log(f"[mesh] WARNING: batch {batch_size} uses only {n}/{len(devices)} "
+                f"devices; set scale_batch_to_devices=True to scale the global batch")
+    return Mesh(np.array(devices[:n]) if n < len(devices) else np.array(devices),
+                ("data",)), n, global_batch
 
 
 class Trainer:
@@ -331,7 +360,7 @@ class Trainer:
             self.plans_manager, cm, num_in, self.label_manager.num_segmentation_heads,
             arch_name=self.cfg.arch_name,
             deep_supervision=self.cfg.enable_deep_supervision, dtype=dtype,
-            norm="batch" if "BN" in self.cfg.name else "instance",  # nnUNetTrainerBN
+            norm=self.cfg.network_norm,  # nnUNetTrainerBN analog
         )
         patch = tuple(cm.patch_size)
         rng = jax.random.PRNGKey(self.cfg.seed)
@@ -374,7 +403,7 @@ class Trainer:
             i for i, m in enumerate(cm.use_mask_for_norm or []) if m
         )
         if self.cfg.do_data_augmentation:
-            aggressive = "DA5" in self.cfg.name  # reference nnUNetTrainerDA5
+            aggressive = self.cfg.aggressive_da  # reference nnUNetTrainerDA5
             spatial = SpatialAugmentConfig(
                 patch_size=patch,
                 rotation_x=tuple(rot["x"]), rotation_y=tuple(rot["y"]), rotation_z=tuple(rot["z"]),
@@ -382,7 +411,7 @@ class Trainer:
                 p_rotation=0.4 if aggressive else 0.2,
                 p_scaling=0.4 if aggressive else 0.2,
                 p_elastic=0.3 if aggressive else 0.0,
-                data_interpolation_order0="DAOrd0" in self.cfg.name,  # reference nnUNetTrainerDAOrd0
+                data_interpolation_order0=self.cfg.order0_data_interp,  # nnUNetTrainerDAOrd0
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
         else:
@@ -456,10 +485,42 @@ class Trainer:
             deep_supervision_weights(n),
         )
 
+    # --- multi-host helpers -----------------------------------------------------
+    def _host_batch_spec(self) -> Tuple[int, float]:
+        """(local_batch_size, local_oversample_percent) for this host's sampler."""
+        if not hasattr(self, "global_batch_size"):
+            self.mesh, self.n_shards, self.global_batch_size = pick_mesh_for_batch(
+                self.configuration_manager.batch_size,
+                scale_batch_to_devices=self.cfg.scale_batch_to_devices,
+                log=self.print_to_log_file)
+        nproc = jax.process_count()
+        if nproc == 1:
+            return self.global_batch_size, self.cfg.oversample_foreground_percent
+        from anatomask_tpu.parallel.mesh import compute_shard_batch_and_oversample
+        return compute_shard_batch_and_oversample(
+            self.global_batch_size, self.cfg.oversample_foreground_percent,
+            jax.process_index(), nproc)
+
+    def _to_global(self, arr) -> jax.Array:
+        """Host batch -> device array. Single process: plain transfer (GSPMD
+        reshards). Multi-host: assemble the global batch from per-process local
+        shards."""
+        if jax.process_count() == 1:
+            return jnp.asarray(arr)
+        return jax.make_array_from_process_local_data(
+            self._batch_sharding, np.asarray(arr))
+
     # --- jitted steps ---------------------------------------------------------
     def _build_steps(self):
         cm = self.configuration_manager
-        self.mesh, self.n_shards = pick_mesh_for_batch(cm.batch_size)
+        self.mesh, self.n_shards, self.global_batch_size = pick_mesh_for_batch(
+            cm.batch_size, scale_batch_to_devices=self.cfg.scale_batch_to_devices,
+            log=self.print_to_log_file)
+        if jax.process_count() > 1 and self.global_batch_size % self.n_shards != 0:
+            raise RuntimeError(
+                f"multi-host training needs global batch ({self.global_batch_size}) "
+                f"divisible by the device count ({self.n_shards}); enable "
+                f"scale_batch_to_devices")
         repl = NamedSharding(self.mesh, P())
         batch_sharding = NamedSharding(self.mesh, P("data"))
         self._batch_sharding = batch_sharding
@@ -540,21 +601,26 @@ class Trainer:
         annotated_key = tuple(self.label_manager.all_labels)
         patch = tuple(cm.patch_size)
         sample_patch = self.initial_patch_size if self.cfg.do_data_augmentation else patch
+        # multi-host: this process samples only ITS contiguous slice of the
+        # global batch, with the oversample fraction adjusted so the union over
+        # hosts reproduces the global forced-foreground tail exactly
+        # (reference _set_batch_size_and_oversample, nnUNetTrainer.py:295-340)
+        local_bs, local_os = self._host_batch_spec()
         self.sampler_train = PatchSampler(
-            ds_tr, cm.batch_size, sample_patch, final_patch_size=patch,
-            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            ds_tr, local_bs, sample_patch, final_patch_size=patch,
+            oversample_foreground_percent=local_os,
             annotated_classes_key=annotated_key,
             has_ignore=self.label_manager.has_ignore_label,
             probabilistic_oversampling=self.cfg.probabilistic_oversampling,
-            seed=self.cfg.seed,
+            seed=self.cfg.seed + 131071 * jax.process_index(),
             cascade_corruption=cm.previous_stage_name is not None,
         )
         self.sampler_val = PatchSampler(
-            ds_val, cm.batch_size, patch, final_patch_size=patch,
-            oversample_foreground_percent=self.cfg.oversample_foreground_percent,
+            ds_val, local_bs, patch, final_patch_size=patch,
+            oversample_foreground_percent=local_os,
             annotated_classes_key=annotated_key,
             has_ignore=self.label_manager.has_ignore_label,
-            seed=self.cfg.seed + 1,
+            seed=self.cfg.seed + 1 + 131071 * jax.process_index(),
         )
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
@@ -626,15 +692,17 @@ class Trainer:
             cm = self.configuration_manager
             num_in = determine_num_input_channels(self.plans_manager, cm, self.dataset_json)
             sample_patch = self.initial_patch_size if self.cfg.do_data_augmentation else tuple(cm.patch_size)
+            local_bs = self._host_batch_spec()[0]
             dummy_batch = {
-                "data": np.random.rand(cm.batch_size, *sample_patch, num_in).astype(np.float32),
+                "data": np.random.rand(local_bs, *sample_patch, num_in).astype(np.float32),
                 "seg": np.random.randint(
                     0, max(2, len(self.label_manager.all_labels)),
-                    (cm.batch_size, *sample_patch, 1)).astype(np.int16),
+                    (local_bs, *sample_patch, 1)).astype(np.int16),
             }
 
         train_iter = iter(self.loader_train)
         val_iter = iter(self.loader_val)
+        start_epoch = self.current_epoch
         try:
             for epoch in range(self.current_epoch, self.cfg.num_epochs):
                 self.current_epoch = epoch
@@ -642,10 +710,10 @@ class Trainer:
                 self.logger.log("epoch_start_timestamps", t0, epoch)
                 self.logger.log("lrs", float(self._lr_schedule(self.step_counter)), epoch)
 
-                # optional JAX profiler trace of the first epoch's steps
+                # optional JAX profiler trace of the FIRST epoch's steps only
                 # (reference has no profiler integration; SURVEY.md §5 asks for one)
                 profile_dir = os.environ.get("ATK_PROFILE_DIR")
-                if profile_dir and epoch == self.current_epoch:
+                if profile_dir and epoch == start_epoch:
                     try:
                         jax.profiler.start_trace(profile_dir)
                         self._profiling = True
@@ -659,7 +727,7 @@ class Trainer:
                     rng, sub = jax.random.split(rng)
                     self.params, self.opt_state, loss = self._train_step(
                         self.params, self.opt_state, sub,
-                        jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]),
+                        self._to_global(batch["data"]), self._to_global(batch["seg"]),
                     )
                     self.step_counter += 1
                     train_losses.append(loss)
@@ -681,7 +749,8 @@ class Trainer:
                         batch = dummy_batch if dummy_batch is not None else next(val_iter)
                         rng, sub = jax.random.split(rng)
                         loss, tp, fp, fn = self._val_step(
-                            self.params, sub, jnp.asarray(batch["data"]), jnp.asarray(batch["seg"]))
+                            self.params, sub, self._to_global(batch["data"]),
+                            self._to_global(batch["seg"]))
                         val_losses.append(loss)
                         tps.append(tp); fps.append(fp); fns.append(fn)
                     val_loss = float(np.mean(jax.device_get(val_losses)))
