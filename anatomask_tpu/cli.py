@@ -366,6 +366,55 @@ def convert_msd_entry(argv: Optional[List[str]] = None):
     convert_msd_dataset(a.i, a.overwrite_id, a.np)
 
 
+def convert_challenge_entry(argv: Optional[List[str]] = None):
+    """Challenge dataset converters (reference Dataset*_*.py scripts)."""
+    p = argparse.ArgumentParser("atk_convert_challenge")
+    sub = p.add_subparsers(dest="task", required=True)
+    for task, default_id in (("kits23", 220), ("amos1", 218), ("amos2", 219),
+                             ("autopet", 221), ("emidec", 115),
+                             ("fluo_c3dh", 73), ("roads", 120)):
+        sp = sub.add_parser(task)
+        sp.add_argument("input_folder")
+        sp.add_argument("-d", type=int, default=default_id)
+        if task == "emidec":
+            sp.add_argument("-t", dest="test_dir", default=None)
+        if task == "fluo_c3dh":
+            sp.add_argument("-t", dest="test_dir", default=None)
+    sp = sub.add_parser("mnms")
+    sp.add_argument("input_folder")
+    sp.add_argument("-csv", default="211230_M&Ms_Dataset_information_diagnosis_opendataset.csv")
+    sp.add_argument("-d", type=int, default=114)
+    sp.add_argument("--custom_splits", action="store_true",
+                    help="append vendor-stratified custom splits (run after "
+                         "plan+preprocess created splits_final.json)")
+    sp = sub.add_parser("old_nnunet")
+    sp.add_argument("input_folder")
+    sp.add_argument("output_dataset_name")
+    a = p.parse_args(argv)
+    from anatomask_tpu.dataset_conversion import convert_challenges as cc
+    if a.task == "kits23":
+        cc.convert_kits2023(a.input_folder, a.d)
+    elif a.task == "amos1":
+        cc.convert_amos_task1(a.input_folder, a.d)
+    elif a.task == "amos2":
+        cc.convert_amos_task2(a.input_folder, a.d)
+    elif a.task == "autopet":
+        cc.convert_autopet(a.input_folder, a.d)
+    elif a.task == "emidec":
+        cc.convert_emidec(a.input_folder, a.test_dir, a.d)
+    elif a.task == "fluo_c3dh":
+        cc.convert_fluo_c3dh_a549_sim(a.input_folder, a.test_dir, a.d)
+    elif a.task == "roads":
+        cc.convert_road_segmentation(a.input_folder, a.d)
+    elif a.task == "mnms":
+        if a.custom_splits:
+            cc.create_mnms_custom_splits(a.input_folder, a.csv, a.d)
+        else:
+            cc.convert_mnms(a.input_folder, a.csv, a.d)
+    elif a.task == "old_nnunet":
+        cc.convert_old_nnunet_dataset(a.input_folder, a.output_dataset_name)
+
+
 def plot_overlay_pngs_entry(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser("atk_plot_overlay_pngs")
     p.add_argument("-i", required=True, help="images folder")

@@ -23,6 +23,7 @@ import numpy as np
 from anatomask_tpu.imageio.base import BaseReaderWriter
 
 _HDR_SIZE = 348
+_WARNED_NONCANONICAL = False
 
 # NIfTI datatype code -> numpy dtype
 _DTYPES = {
@@ -163,7 +164,7 @@ def write_nifti(fname: str, data_xyz: np.ndarray, header: dict = None, affine: n
 
     hdr = bytearray(352)  # 348 header + 4 extension bytes
     struct.pack_into("<i", hdr, 0, 348)
-    dim = [3, *data_xyz.shape, 1, 1, 1, 1][:8]
+    dim = [data_xyz.ndim, *data_xyz.shape, 1, 1, 1, 1][:8]
     dim += [1] * (8 - len(dim))
     struct.pack_into("<8h", hdr, 40, *dim)
     struct.pack_into("<h", hdr, 70, code)
@@ -197,6 +198,61 @@ def write_nifti(fname: str, data_xyz: np.ndarray, header: dict = None, affine: n
         f.write(body)
 
 
+def io_orientation(affine: np.ndarray) -> np.ndarray:
+    """For each voxel axis v: (world axis w it most aligns with, sign). RAS
+    canonical == [(0,+1),(1,+1),(2,+1)]. Greedy max-|cosine| assignment
+    (nibabel io_orientation equivalent for orthogonal-ish affines)."""
+    R = np.asarray(affine, np.float64)[:3, :3]
+    lengths = np.sqrt((R ** 2).sum(0))
+    lengths[lengths == 0] = 1.0
+    Rn = R / lengths
+    ornt = np.zeros((3, 2))
+    pairs = sorted(((abs(Rn[w, v]), w, v) for w in range(3) for v in range(3)),
+                   reverse=True)
+    used_w, used_v = set(), set()
+    for mag, w, v in pairs:
+        if w in used_w or v in used_v:
+            continue
+        ornt[v] = (w, 1.0 if Rn[w, v] >= 0 else -1.0)
+        used_w.add(w)
+        used_v.add(v)
+        if len(used_v) == 3:
+            break
+    return ornt
+
+
+def reorient_to_ras(data_xyz: np.ndarray, affine: np.ndarray):
+    """Reorient an (x,y,z)-indexed volume so voxel axes align with +x,+y,+z
+    world axes. Returns (data_ras, affine_ras, ornt)."""
+    ornt = io_orientation(affine)
+    d = data_xyz
+    for v in range(3):
+        if ornt[v, 1] < 0:
+            d = np.flip(d, axis=v)
+    # output axis w <- input axis v with ornt[v,0]==w
+    axes = [0, 0, 0]
+    for v in range(3):
+        axes[int(ornt[v, 0])] = v
+    d = np.transpose(d, axes)
+    # new affine: A_ras = A @ M, M maps new index -> old index
+    M = np.zeros((4, 4))
+    M[3, 3] = 1.0
+    for v in range(3):
+        w, s = int(ornt[v, 0]), ornt[v, 1]
+        M[v, w] = s
+        M[v, 3] = (data_xyz.shape[v] - 1) if s < 0 else 0.0
+    return np.ascontiguousarray(d), np.asarray(affine) @ M, ornt
+
+
+def undo_reorientation(data_ras: np.ndarray, ornt: np.ndarray) -> np.ndarray:
+    """Inverse of reorient_to_ras' data transform."""
+    d = np.transpose(data_ras, axes=[int(ornt[v, 0]) for v in range(3)])
+    for v in range(3):
+        if ornt[v, 1] < 0:
+            d = np.flip(d, axis=v)
+    return np.ascontiguousarray(d)
+
+
 class NiftiIO(BaseReaderWriter):
     """Default reader/writer for .nii / .nii.gz (reference default: SimpleITKIO)."""
 
@@ -223,6 +279,16 @@ class NiftiIO(BaseReaderWriter):
         if not self._check_all_same_array([np.asarray(s) for s in spacings]):
             raise RuntimeError(f"image channel spacings differ: {spacings} ({image_fnames})")
 
+        ornt = io_orientation(affines[0])
+        if (ornt[:, 0] != np.arange(3)).any() or (ornt[:, 1] < 0).any():
+            global _WARNED_NONCANONICAL
+            if not _WARNED_NONCANONICAL:
+                _WARNED_NONCANONICAL = True
+                print("WARNING: NIfTI volume is not in canonical (RAS-aligned) "
+                      "orientation; NiftiIO reads the raw array. For "
+                      "mixed-orientation datasets set "
+                      "'overwrite_image_reader_writer': 'NibabelIOWithReorient' "
+                      "in dataset.json to reorient on read.")
         properties = {
             "spacing": spacings[0],
             "nifti_header": headers[0]["raw_header"],
@@ -242,3 +308,66 @@ class NiftiIO(BaseReaderWriter):
         sp = properties.get("spacing", [1.0, 1.0, 1.0])
         write_nifti(output_fname, data_xyz, header=header,
                     affine=properties.get("affine"), spacing_xyz=sp[::-1])
+
+
+class NiftiIOWithReorient(NiftiIO):
+    """RAS-reorienting NIfTI reader/writer (reference NibabelIOWithReorient,
+    nibabel_reader_writer.py:100-185): every volume is reoriented to the
+    closest-to-RAS canonical orientation on read (axis permutation + flips from
+    the affine), and segmentations are un-reoriented back to the ORIGINAL
+    orientation on write, restoring the original affine bit-for-bit. Use for
+    mixed-orientation datasets, where the raw-array reader would silently
+    misalign channels/cases."""
+
+    supported_file_endings = [".nii", ".nii.gz"]
+
+    def read_images(self, image_fnames) -> Tuple[np.ndarray, dict]:
+        images, spacings, affines_r, ornts, headers = [], [], [], [], []
+        for f in image_fnames:
+            data, h = read_nifti(f)
+            if data.ndim == 4:
+                if data.shape[3] != 1:
+                    raise RuntimeError(f"only 3D images supported, got shape {data.shape} in {f}")
+                data = data[..., 0]
+            elif data.ndim == 2:
+                data = data[..., None]
+            d_ras, aff_ras, ornt = reorient_to_ras(data, h["affine"])
+            images.append(np.ascontiguousarray(d_ras.transpose(2, 1, 0)).astype(np.float32))
+            # spacing from the reoriented affine, reversed to (z, y, x)
+            sp_xyz = [float(np.linalg.norm(aff_ras[:3, i])) for i in range(3)]
+            spacings.append(sp_xyz[::-1])
+            affines_r.append(aff_ras)
+            ornts.append(ornt)
+            headers.append(h)
+
+        if not self._check_all_same([i.shape for i in images]):
+            raise RuntimeError(
+                f"image channel shapes differ after RAS reorientation: "
+                f"{[i.shape for i in images]} ({image_fnames})")
+        if not self._check_all_same_array(affines_r):
+            print(f"WARNING: reoriented affines differ across channels "
+                  f"({image_fnames}); verify data/seg alignment.")
+        if not self._check_all_same(spacings):
+            raise RuntimeError(f"image channel spacings differ: {spacings} ({image_fnames})")
+
+        properties = {
+            "spacing": spacings[0],
+            "nifti_header": headers[0]["raw_header"],
+            "affine": affines_r[0],
+            "original_affine": headers[0]["affine"],
+            "reorient_ornt": np.asarray(ornts[0]).tolist(),
+        }
+        return np.stack(images).astype(np.float32), properties
+
+    def read_seg(self, seg_fname: str) -> Tuple[np.ndarray, dict]:
+        return self.read_images([seg_fname])
+
+    def write_seg(self, seg: np.ndarray, output_fname: str, properties: dict) -> None:
+        assert seg.ndim == 3
+        dtype = np.uint8 if seg.max() < 255 else np.uint16
+        data_ras_xyz = seg.astype(dtype).transpose(2, 1, 0)
+        ornt = np.asarray(properties["reorient_ornt"])
+        data_orig = undo_reorientation(data_ras_xyz, ornt)
+        header = {"raw_header": properties["nifti_header"]} if "nifti_header" in properties else None
+        write_nifti(output_fname, data_orig, header=header,
+                    affine=properties.get("original_affine"))

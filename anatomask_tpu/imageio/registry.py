@@ -11,19 +11,20 @@ from typing import Optional, Type
 
 from anatomask_tpu.imageio.base import BaseReaderWriter
 from anatomask_tpu.imageio.natural_image import NaturalImage2DIO
-from anatomask_tpu.imageio.nifti import NiftiIO
+from anatomask_tpu.imageio.nifti import NiftiIO, NiftiIOWithReorient
 from anatomask_tpu.imageio.numpy_io import NumpyIO
 from anatomask_tpu.imageio.tiff_io import Tiff3DIO
 
 _REGISTRY = {
     "NiftiIO": NiftiIO,
+    "NiftiIOWithReorient": NiftiIOWithReorient,
     "NumpyIO": NumpyIO,
     "NaturalImage2DIO": NaturalImage2DIO,
     "Tiff3DIO": Tiff3DIO,
     # aliases for nnU-Net dataset.json compatibility
     "SimpleITKIO": NiftiIO,
     "NibabelIO": NiftiIO,
-    "NibabelIOWithReorient": NiftiIO,
+    "NibabelIOWithReorient": NiftiIOWithReorient,
 }
 
 _ENDING_MAP = [

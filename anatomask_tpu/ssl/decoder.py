@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from anatomask_tpu.models.layers import InstanceNorm
+from anatomask_tpu.models.layers import InstanceNorm, _ConvInner
 
 
 def _trunc_normal_init(std: float = 0.02):
@@ -83,12 +83,15 @@ class UNetBlock(nn.Module):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         cin = x.shape[-1]
         x = ConvTranspose2x(cin, name="up_sample", **dd)(x)
-        x = nn.Conv(cin, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-                    kernel_init=_trunc_normal_init(), name="conv0", **dd)(x)
+        # _ConvInner = same params as nn.Conv (kernel/bias under this name) but
+        # with the z2d TPU lowering for the hot full-resolution shapes
+        x = _ConvInner(cin, (3, 3, 3), (1, 1, 1), ((1, 1),) * 3, use_bias=False,
+                       kernel_init=_trunc_normal_init(), name="conv0", **dd)(x)
         x = _make_norm(self.norm, "norm0", self.dtype, self.param_dtype)(x)
         x = jnp.clip(nn.relu(x), 0, 6)  # ReLU6
-        x = nn.Conv(self.features_out, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-                    kernel_init=_trunc_normal_init(), name="conv1", **dd)(x)
+        x = _ConvInner(self.features_out, (3, 3, 3), (1, 1, 1), ((1, 1),) * 3,
+                       use_bias=False, kernel_init=_trunc_normal_init(),
+                       name="conv1", **dd)(x)
         x = _make_norm(self.norm, "norm1", self.dtype, self.param_dtype)(x)
         return x
 

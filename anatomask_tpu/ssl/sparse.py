@@ -194,6 +194,113 @@ def sparse_masked_global_pool(x, active):
     )
 
 
+def sparse_max_pool(x, active, window: Sequence[int], strides: Optional[Sequence[int]] = None):
+    """Masked max pool: dense pool, then re-mask the output at its resolution
+    (exactly the reference SparseMaxPooling = sp_conv_forward, :31-33)."""
+    strides = tuple(strides) if strides is not None else tuple(window)
+    y = nn.max_pool(x, tuple(window), strides, padding="VALID")
+    m = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
+    return y * m
+
+
+def sparse_avg_pool(x, active, window: Sequence[int], strides: Optional[Sequence[int]] = None):
+    """Masked average pool (reference SparseAvgPooling :35-37: dense avg pool
+    then re-mask the output)."""
+    strides = tuple(strides) if strides is not None else tuple(window)
+    y = nn.avg_pool(x, tuple(window), strides, padding="VALID")
+    m = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
+    return y * m
+
+
+class GRN(nn.Module):
+    """Global Response Normalization (ConvNeXt-V2; reference GRNwithNHWDC
+    :85-103): Gx = per-channel L2 norm over spatial dims, Nx = Gx / mean_c(Gx),
+    out = (gamma * Nx + 1) * x + beta."""
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (c,), self.param_dtype)
+        gx = jnp.sqrt(jnp.sum(jnp.square(x).astype(jnp.float32), (1, 2, 3),
+                              keepdims=True))
+        nx = gx / (gx.mean(-1, keepdims=True) + 1e-6)
+        out = (gamma.astype(jnp.float32) * nx + 1.0) * x.astype(jnp.float32)
+        if self.use_bias:
+            beta = self.param("beta", nn.initializers.zeros, (c,), self.param_dtype)
+            out = out + beta
+        return out.astype(self.dtype)
+
+
+class SparseGRN(nn.Module):
+    """GRN restricted to active voxels (reference SparseGRN :105-137): the
+    spatial L2 statistic runs over active positions only and the output is
+    re-masked. (Note: the reference's sparse branch degenerates to per-voxel
+    channel norms — an inconsistency with its own dense GRN; here the dense
+    GRN semantics are preserved, just computed over the active set, which is
+    the principled masked extension.)"""
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, active):
+        c = x.shape[-1]
+        m = mask_to_resolution(active, x.shape[1:4]).astype(jnp.float32)
+        gamma = self.param("gamma", nn.initializers.zeros, (c,), self.param_dtype)
+        xf = x.astype(jnp.float32) * m
+        gx = jnp.sqrt(jnp.sum(jnp.square(xf), (1, 2, 3), keepdims=True))
+        nx = gx / (gx.mean(-1, keepdims=True) + 1e-6)
+        out = (gamma.astype(jnp.float32) * nx + 1.0) * xf
+        if self.use_bias:
+            beta = self.param("beta", nn.initializers.zeros, (c,), self.param_dtype)
+            out = out + beta
+        return (out * m).astype(self.dtype)
+
+
+class SparseConvNeXtBlock(nn.Module):
+    """Masked ConvNeXt block (reference SparseConvNeXtBlock :236-279):
+    depthwise k7 conv (re-masked) -> active-voxel LayerNorm -> pointwise
+    MLP (4x, GELU) -> layer scale gamma -> stochastic depth -> residual.
+    NDHWC throughout (the reference permutes to channels-last internally)."""
+    dim: int
+    kernel_size: int = 7
+    layer_scale_init_value: float = 1e-6
+    drop_path: float = 0.0
+    deterministic: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, active):
+        dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        inp = x
+        k = self.kernel_size
+        y = nn.Conv(self.dim, (k, k, k), padding=((k // 2, k // 2),) * 3,
+                    feature_group_count=self.dim, name="dwconv", **dd)(x)
+        m = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
+        y = y * m
+        y = SparseLayerNorm(name="norm", **dd)(y, active)
+        y = nn.Dense(4 * self.dim, name="pwconv1", **dd)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.dim, name="pwconv2", **dd)(y)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,), self.param_dtype)
+            y = y * gamma.astype(y.dtype)
+        y = y * m
+        if self.drop_path > 0 and not self.deterministic:
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("droppath")
+            b = jax.random.bernoulli(rng, keep, (y.shape[0], 1, 1, 1, 1))
+            y = y * b.astype(y.dtype) / keep
+        return inp + y
+
+
 class SparseBasicResBlock(nn.Module):
     """Masked twin of models.stunet.BasicResBlock: every conv output and norm is
     re-masked at its resolution (reference sp_conv_forward :12-15). Submodule

@@ -136,6 +136,17 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
     "ATKTrainerCosAnneal": TrainerConfig(name="ATKTrainerCosAnneal", lr_scheduler="cosine"),
     "ATKTrainerAdam": TrainerConfig(name="ATKTrainerAdam", optimizer="adam", initial_lr=3e-4),
     "ATKTrainerAdamW": TrainerConfig(name="ATKTrainerAdamW", optimizer="adamw", initial_lr=3e-4),
+    # reference variants/optimizer/nnUNetTrainerAdan.py (adan defaults + poly,
+    # lr sweep subclasses, CosAnneal variant)
+    "ATKTrainerAdan": TrainerConfig(name="ATKTrainerAdan", optimizer="adan"),
+    "ATKTrainerAdan1en3": TrainerConfig(name="ATKTrainerAdan1en3", optimizer="adan",
+                                        initial_lr=1e-3),
+    "ATKTrainerAdan3en4": TrainerConfig(name="ATKTrainerAdan3en4", optimizer="adan",
+                                        initial_lr=3e-4),
+    "ATKTrainerAdan1en1": TrainerConfig(name="ATKTrainerAdan1en1", optimizer="adan",
+                                        initial_lr=1e-1),
+    "ATKTrainerAdanCosAnneal": TrainerConfig(name="ATKTrainerAdanCosAnneal",
+                                             optimizer="adan", lr_scheduler="cosine"),
     "ATKTrainerNoMirroring": TrainerConfig(name="ATKTrainerNoMirroring", do_mirroring_aug=False),
     "ATKTrainerNoDA": TrainerConfig(name="ATKTrainerNoDA", do_data_augmentation=False),
     "ATKTrainerNoDeepSupervision": TrainerConfig(name="ATKTrainerNoDeepSupervision", enable_deep_supervision=False),
@@ -388,6 +399,9 @@ class Trainer:
                                   eps=self.cfg.adam_eps)]
         elif self.cfg.optimizer == "adam":
             chain += [optax.adam(self._lr_schedule, eps=self.cfg.adam_eps)]
+        elif self.cfg.optimizer == "adan":
+            # reference nnUNetTrainerAdan (adan_pytorch defaults, poly/cos LR)
+            chain += [optax.adan(self._lr_schedule, weight_decay=self.cfg.weight_decay)]
         else:
             raise RuntimeError(f"unknown optimizer {self.cfg.optimizer}")
         self.optimizer = optax.chain(*chain)

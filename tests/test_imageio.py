@@ -117,3 +117,65 @@ def test_tiff_3d_io(tmp_path, rng):
     back, props2 = io.read_seg(out)
     np.testing.assert_array_equal(back[0], seg)
     assert props2["spacing"] == [2.0, 1.0, 1.0]
+
+
+def test_reorient_io_roundtrip(tmp_path):
+    """NiftiIOWithReorient: a flipped/permuted (non-RAS) volume reads as the
+    RAS-aligned array, and write_seg restores the ORIGINAL orientation and
+    affine exactly (reference NibabelIOWithReorient contract)."""
+    import numpy as np
+    from anatomask_tpu.imageio.nifti import (
+        NiftiIO, NiftiIOWithReorient, read_nifti, write_nifti,
+    )
+    rng = np.random.RandomState(3)
+    disk = (rng.rand(5, 6, 7) * 40).astype(np.float32)  # scanner voxel order
+
+    # non-RAS affine: world = A @ index; voxel axis 0 -> +z, 1 -> -y, 2 -> -x
+    A = np.zeros((4, 4)); A[3, 3] = 1
+    A[0, 2] = -1.3
+    A[1, 1] = -0.7
+    A[2, 0] = 2.0
+    A[:3, 3] = (10., 20., 30.)
+    f = str(tmp_path / "weird.nii.gz")
+    write_nifti(f, np.ascontiguousarray(disk), affine=A)
+
+    io_r = NiftiIOWithReorient()
+    img, props = io_r.read_images([f])
+    # RAS volume derived from the affine: x' <- flipped axis 2, y' <- flipped
+    # axis 1, z' <- axis 0
+    vol_ras = np.ascontiguousarray(
+        np.flip(np.transpose(disk, (2, 1, 0)), axis=(0, 1)))
+    got = img[0]
+    expect = vol_ras.transpose(2, 1, 0)  # reader returns (z, y, x) axes
+    np.testing.assert_allclose(got, expect, atol=1e-5)
+    # spacing reordered to world (z, y, x) = (2.0, 0.7, 1.3)
+    np.testing.assert_allclose(props["spacing"], [2.0, 0.7, 1.3], atol=1e-6)
+
+    # write a seg in RAS; on disk it must match the original orientation
+    seg_ras = (vol_ras > 20).astype(np.uint8).transpose(2, 1, 0)  # (z,y,x)
+    out = str(tmp_path / "seg.nii.gz")
+    io_r.write_seg(seg_ras, out, props)
+    seg_disk, h = read_nifti(out)
+    expect_disk = (disk > 20).astype(np.uint8)
+    np.testing.assert_array_equal(seg_disk, expect_disk)
+    np.testing.assert_allclose(h["affine"], A, atol=1e-5)
+
+
+def test_plain_reader_warns_on_noncanonical(tmp_path, capsys):
+    import numpy as np
+    from anatomask_tpu.imageio import nifti as nifti_mod
+    from anatomask_tpu.imageio.nifti import NiftiIO, write_nifti
+    A = np.diag([-1.0, 1.0, 1.0, 1.0])  # L-flip
+    f = str(tmp_path / "flip.nii.gz")
+    write_nifti(f, np.zeros((4, 4, 4), np.float32), affine=A)
+    nifti_mod._WARNED_NONCANONICAL = False
+    NiftiIO().read_images([f])
+    out = capsys.readouterr().out
+    assert "not in canonical" in out
+
+
+def test_registry_reorient_alias():
+    from anatomask_tpu.imageio.nifti import NiftiIOWithReorient
+    from anatomask_tpu.imageio.registry import find_reader_writer_by_name
+    assert find_reader_writer_by_name("NibabelIOWithReorient") is NiftiIOWithReorient
+    assert find_reader_writer_by_name("NiftiIOWithReorient") is NiftiIOWithReorient
