@@ -76,6 +76,9 @@ class IntensityAugmentConfig:
 class AugmentConfig:
     spatial: SpatialAugmentConfig
     intensity: IntensityAugmentConfig = field(default_factory=IntensityAugmentConfig)
+    # DA5 aggressive stack (reference nnUNetTrainerDA5): set to a DA5Config to
+    # append rot90/transpose/median/blank-rect/gradient/local-gamma/sharpening
+    da5: Optional[object] = None
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
     mask_channels_for_norm: Tuple[int, ...] = ()   # channels zeroed outside nonzero mask
     ds_scales: Tuple[Tuple[int, ...], ...] = ()    # per-DS-level integer downsample factors
@@ -415,15 +418,22 @@ def make_train_augment_fn(cfg: AugmentConfig):
     ic = cfg.intensity
 
     def augment(rng, data, seg):
-        keys = jax.random.split(rng, 10)
+        keys = jax.random.split(rng, 11)
         data, seg = spatial_augment(data, seg, keys[0], cfg.spatial)
         data = gaussian_noise(data, keys[1], ic)
-        data = gaussian_blur(data, keys[2], ic)
-        data = brightness_multiplicative(data, keys[3], ic)
-        data = contrast(data, keys[4], ic)
+        if cfg.da5 is None:
+            # DA5 replaces blur/brightness/contrast with its own OneOf variants
+            data = gaussian_blur(data, keys[2], ic)
+            data = brightness_multiplicative(data, keys[3], ic)
+            data = contrast(data, keys[4], ic)
         data = simulate_lowres(data, keys[5], ic)
         data = _gamma_once(data, keys[6], ic.p_gamma_invert, True, ic)
         data = _gamma_once(data, keys[7], ic.p_gamma, False, ic)
+        if cfg.da5 is not None:
+            from anatomask_tpu.data.augment_da5 import apply_da5_extras
+            data, seg = apply_da5_extras(
+                keys[9], data, seg, tuple(cfg.spatial.patch_size), cfg.da5,
+                blur_fn=lambda x, k: gaussian_blur(x, k, ic))
         if cfg.mirror_axes:
             data, seg = mirror(data, seg, keys[8], cfg.mirror_axes)
         if cfg.mask_channels_for_norm:

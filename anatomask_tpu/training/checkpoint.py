@@ -156,6 +156,7 @@ def convert_torch_stunet_state_dict(state_dict: dict) -> dict:
             k = k.split("sp_cnn.")[-1]
         while k.startswith("module."):
             k = k[len("module."):]
+        k = k.lstrip(".")  # moco rewrite (split('net')[1][3:]) can leave one
         parts = k.split(".")
         if parts[0] in ("conv_blocks_context", "conv_blocks_localization"):
             # conv_blocks_context.{stage}.{block}.{layer}.{param}
@@ -183,6 +184,202 @@ def convert_torch_stunet_state_dict(state_dict: dict) -> dict:
         # anything else (decoder densify layers, mask tokens, ...) is ignored here;
         # SSL-specific tensors are handled by the SSL checkpoint adapter.
     return tree
+
+
+def _np(val) -> np.ndarray:
+    return np.asarray(getattr(val, "numpy", lambda: val)())
+
+
+def _strip_wrappers(key: str) -> str:
+    """Drop DDP 'module.' prefixes and torch.compile '_orig_mod.' prefixes."""
+    for pre in ("module.", "_orig_mod."):
+        while key.startswith(pre):
+            key = key[len(pre):]
+    return key
+
+
+def convert_torch_plain_unet_state_dict(state_dict: dict) -> dict:
+    """Convert a torch PlainConvUNet state_dict (dynamic_network_architectures
+    key scheme: encoder.stages.{s}.convs.{i}.conv/.norm, decoder.stages.{d},
+    decoder.transpconvs.{d}, decoder.seg_layers.{d}; ConvDropoutNormReLU also
+    registers its ops under .all_modules.{0,2} — both spellings accepted) into
+    the flax param tree of models.plain_unet.PlainConvUNet."""
+    tree: dict = {}
+
+    def put(path, arr):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+
+    def conv_block_param(base, layer, pname, arr):
+        # our ConvNormAct: conv{i}/conv(ConvND)/conv(inner)/kernel|bias, norm/scale|bias
+        if layer == "conv":
+            put(base + ["conv", "conv", "kernel" if pname == "weight" else "bias"],
+                arr.transpose(2, 3, 4, 1, 0) if pname == "weight" else arr)
+        elif layer == "norm":
+            put(base + ["norm", "scale" if pname == "weight" else "bias"], arr)
+
+    for key, val in state_dict.items():
+        k = _strip_wrappers(key)
+        arr = _np(val)
+        parts = k.split(".")
+        try:
+            if parts[0] == "encoder" and parts[1] == "stages":
+                s, rest = parts[2], parts[3:]
+                if rest[0] == "convs":
+                    i, layer, pname = rest[1], rest[2], rest[3]
+                    if layer == "all_modules":
+                        layer = {"0": "conv", "2": "norm"}.get(rest[3])
+                        pname = rest[4]
+                    conv_block_param([f"encoder_stage_{s}", f"conv{i}"], layer, pname, arr)
+            elif parts[0] == "decoder":
+                if parts[1] == "stages":
+                    d, rest = parts[2], parts[3:]
+                    if rest[0] == "convs":
+                        i, layer, pname = rest[1], rest[2], rest[3]
+                        if layer == "all_modules":
+                            layer = {"0": "conv", "2": "norm"}.get(rest[3])
+                            pname = rest[4]
+                        conv_block_param([f"decoder_stage_{d}", f"conv{i}"], layer, pname, arr)
+                elif parts[1] == "transpconvs":
+                    d, pname = parts[2], parts[-1]
+                    if pname == "weight":
+                        # torch ConvTranspose3d (I, O, kd, kh, kw) -> flax (kd, kh, kw, I, O)
+                        put([f"decoder_transp_{d}", "kernel"], arr.transpose(2, 3, 4, 0, 1))
+                    else:
+                        put([f"decoder_transp_{d}", "bias"], arr)
+                elif parts[1] == "seg_layers":
+                    d, pname = parts[2], parts[-1]
+                    if pname == "weight":
+                        put([f"seg_output_{d}", "conv", "kernel"],
+                            arr.transpose(2, 3, 4, 1, 0))
+                    else:
+                        put([f"seg_output_{d}", "conv", "bias"], arr)
+        except IndexError:
+            continue  # unknown key shape: skip (non-strict adapter)
+    return tree
+
+
+def convert_torch_resenc_state_dict(state_dict: dict) -> dict:
+    """Convert a torch ResidualEncoderUNet state_dict
+    (encoder.stages.{s}.blocks.{b}.conv1/.norm1/.conv2/.norm2 + skip conv;
+    decoder as in PlainConvUNet) into models.plain_unet.ResidualEncoderUNet
+    params (encoder_stage_{s}_block_{b}/conv1|norm1|conv2|norm2|conv3)."""
+    tree = convert_torch_plain_unet_state_dict(
+        {k: v for k, v in state_dict.items() if not k.startswith("encoder.")})
+
+    def put(path, arr):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = arr
+
+    for key, val in state_dict.items():
+        k = _strip_wrappers(key)
+        if not k.startswith("encoder.stages."):
+            continue
+        arr = _np(val)
+        parts = k.split(".")
+        try:
+            s = parts[2]
+            rest = parts[3:]
+            if rest[0] == "blocks":
+                b, layer = rest[1], rest[2]
+                base = [f"encoder_stage_{s}_block_{b}"]
+                pname = rest[-1]
+                if layer in ("conv1", "conv2"):
+                    # BasicBlockD conv1 is a ConvDropoutNormReLU (conv + norm)
+                    sub = rest[3] if len(rest) > 4 else "conv"
+                    if sub in ("conv", "all_modules") or len(rest) == 4:
+                        if len(rest) == 4:  # plain conv module: conv1.weight
+                            tgt_layer = layer
+                            if pname == "weight":
+                                put(base + [tgt_layer, "conv", "kernel"],
+                                    arr.transpose(2, 3, 4, 1, 0))
+                            else:
+                                put(base + [tgt_layer, "conv", "bias"], arr)
+                        elif sub == "conv" or (sub == "all_modules" and rest[4] == "0"):
+                            if pname == "weight":
+                                put(base + [layer, "conv", "kernel"],
+                                    arr.transpose(2, 3, 4, 1, 0))
+                            else:
+                                put(base + [layer, "conv", "bias"], arr)
+                        elif sub == "all_modules" and rest[4] == "2":
+                            put(base + [f"norm{layer[-1]}",
+                                        "scale" if pname == "weight" else "bias"], arr)
+                    elif sub == "norm":
+                        put(base + [f"norm{layer[-1]}",
+                                    "scale" if pname == "weight" else "bias"], arr)
+                elif layer in ("norm1", "norm2"):
+                    put(base + [layer, "scale" if pname == "weight" else "bias"], arr)
+                elif layer in ("skip", "downsample_skip", "conv3"):
+                    if pname == "weight" and arr.ndim == 5:
+                        put(base + ["conv3", "conv", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+                    elif pname == "bias":
+                        put(base + ["conv3", "conv", "bias"], arr)
+        except IndexError:
+            continue
+    return tree
+
+
+_LOADER_SKIP = {
+    # reference load_pretrained_weights.py skip lists per variant (:21, :255, :325)
+    "default": (".seg_layers.", "seg_output", "seg_outputs"),
+    "swin": ("out.conv.conv.weight", "out.conv.conv.bias"),
+    "unimiss": ("cls_conv.weight", "cls_conv.bias"),
+    "ssl": (),
+    "moco": (),
+}
+
+
+def load_torch_pretrained_weights(params: dict, state_or_path, variant: str = "default",
+                                  arch: str = "stunet", verbose: bool = False,
+                                  allow_pickle: bool = False) -> dict:
+    """Reference load_pretrained_weights family (load_pretrained_weights.py:
+    :6 default name+shape merge skipping seg heads; :66 ssl — keys rewritten by
+    split('sp_cnn.')[-1], encoder blocks only; :109 moco — 'conv_blocks_context'
+    keys rewritten by split('net')[1][3:]; :250 swin / :310 unimiss — default
+    merge with their own skip lists).
+
+    params: flax param tree of the target network. state_or_path: torch
+    state_dict or .pt/.pth path. arch selects the torch->flax adapter
+    ('stunet' | 'plain_unet' | 'resenc')."""
+    if isinstance(state_or_path, (str, os.PathLike)):
+        state = load_torch_checkpoint_file(str(state_or_path), allow_pickle=allow_pickle)
+    else:
+        state = state_or_path
+
+    if variant == "ssl":
+        state = {k.split("sp_cnn.")[-1]: v for k, v in state.items() if "encoder" in k}
+    elif variant == "moco":
+        state = {k.split("net")[1][3:]: v for k, v in state.items()
+                 if "conv_blocks_context" in k and "net" in k}
+
+    adapter = {
+        "stunet": convert_torch_stunet_state_dict,
+        "plain_unet": convert_torch_plain_unet_state_dict,
+        "resenc": convert_torch_resenc_state_dict,
+    }[arch]
+    pre = adapter(state)
+
+    skip = _LOADER_SKIP.get(variant, _LOADER_SKIP["default"])
+    flat = flatten_tree(params)
+    flat_pre = flatten_tree(pre)
+    loaded = []
+    for k, v in flat_pre.items():
+        if any(s.strip(".") in k for s in skip):
+            continue
+        if k in flat and flat[k].shape == v.shape:
+            flat[k] = np.asarray(v)
+            loaded.append(k)
+    if verbose:
+        print(f"[{variant}/{arch}] transferred {len(loaded)}/{len(flat_pre)} tensors")
+    if not loaded:
+        raise RuntimeError(
+            f"no tensors transferred (variant={variant}, arch={arch}); the "
+            f"pretrained weights do not seem compatible with this network")
+    return unflatten_tree(flat)
 
 
 def load_torch_checkpoint_file(path: str, allow_pickle: bool = False) -> dict:

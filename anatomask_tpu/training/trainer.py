@@ -416,18 +416,26 @@ class Trainer:
         mask_channels = tuple(
             i for i, m in enumerate(cm.use_mask_for_norm or []) if m
         )
+        da5 = None
         if self.cfg.do_data_augmentation:
             aggressive = self.cfg.aggressive_da  # reference nnUNetTrainerDA5
             spatial = SpatialAugmentConfig(
                 patch_size=patch,
                 rotation_x=tuple(rot["x"]), rotation_y=tuple(rot["y"]), rotation_z=tuple(rot["z"]),
                 dummy_2d=dummy_2d,
+                # DA5 SpatialTransform: p_rot .4, p_scale .2, elastic OFF (:141-148)
                 p_rotation=0.4 if aggressive else 0.2,
-                p_scaling=0.4 if aggressive else 0.2,
-                p_elastic=0.3 if aggressive else 0.0,
+                p_scaling=0.2,
                 data_interpolation_order0=self.cfg.order0_data_interp,  # nnUNetTrainerDAOrd0
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
+            if aggressive:
+                from anatomask_tpu.data.augment_da5 import DA5Config
+                da5 = DA5Config()
+                intensity = IntensityAugmentConfig(
+                    lowres_ignore_axis0=dummy_2d,
+                    p_noise=0.1, p_lowres=0.15, lowres_zoom=(0.25, 1.0),
+                    p_gamma=0.1, p_gamma_invert=0.1)
         else:
             spatial = SpatialAugmentConfig(patch_size=patch, p_rotation=0.0, p_scaling=0.0)
             intensity = IntensityAugmentConfig(
@@ -437,7 +445,7 @@ class Trainer:
             tuple(self.label_manager.foreground_labels)
             if cm.previous_stage_name is not None else ())
         self.aug_config = AugmentConfig(
-            spatial=spatial, intensity=intensity,
+            spatial=spatial, intensity=intensity, da5=da5,
             mirror_axes=mirror_axes if (self.cfg.do_mirroring_aug and self.cfg.do_data_augmentation) else (),
             mask_channels_for_norm=mask_channels,
             ds_scales=tuple(ds_factors),

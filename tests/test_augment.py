@@ -166,3 +166,67 @@ def test_elastic_deformation(rng):
     center_crop = data[:, 2:10, 2:10, 2:10]
     assert not np.allclose(np.asarray(d), center_crop)  # deformed
     assert float(d.min()) >= -1e-5 and float(d.max()) <= 1 + 1e-5
+
+
+# --- DA5 aggressive stack (reference nnUNetTrainerDA5) -------------------------
+
+def test_da5_extras_shapes_and_finiteness():
+    import jax, jax.numpy as jnp
+    from anatomask_tpu.data.augment_da5 import DA5Config, apply_da5_extras
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 12, 12, 12, 2), jnp.float32)
+    seg = jnp.asarray(rng.randint(0, 3, (2, 12, 12, 12, 1)), jnp.int16)
+    cfg = DA5Config()
+    fn = jax.jit(lambda k, d, s: apply_da5_extras(k, d, s, (12, 12, 12), cfg))
+    d2, s2 = fn(jax.random.PRNGKey(0), x, seg)
+    assert d2.shape == x.shape and s2.shape == seg.shape
+    assert np.isfinite(np.asarray(d2)).all()
+    # with all probabilities forced, the data must actually change
+    cfg_on = DA5Config(p_rot90=1.0, p_transpose=1.0, p_median_or_blur=1.0,
+                       p_additive_brightness=1.0, p_contrast=1.0,
+                       p_blank_rectangles=1.0, p_brightness_gradient=1.0,
+                       p_local_gamma=1.0, p_sharpening=1.0, p_per_channel=1.0)
+    d3, s3 = apply_da5_extras(jax.random.PRNGKey(1), x, seg, (12, 12, 12), cfg_on)
+    assert float(jnp.abs(d3 - x).max()) > 0.01
+
+
+def test_da5_rot90_consistency_data_seg():
+    """rot90/transpose must move data and seg identically (labels stay aligned)."""
+    import jax, jax.numpy as jnp
+    from anatomask_tpu.data.augment_da5 import rot90_transform, transpose_axes_transform
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 8, 8, 8, 1), jnp.float32)
+    seg = (x > 0.5).astype(jnp.int16)
+    for i in range(4):
+        k = jax.random.PRNGKey(i)
+        d2, s2 = rot90_transform(x, seg, k, (8, 8, 8), p=1.0)
+        np.testing.assert_array_equal(np.asarray(d2 > 0.5), np.asarray(s2).astype(bool))
+        d3, s3 = transpose_axes_transform(x, seg, k, (8, 8, 8), p=1.0)
+        np.testing.assert_array_equal(np.asarray(d3 > 0.5), np.asarray(s3).astype(bool))
+
+
+def test_da5_blank_rectangles_fill_with_region_mean():
+    import jax, jax.numpy as jnp
+    from anatomask_tpu.data.augment_da5 import DA5Config, blank_rectangles
+    x = jnp.ones((1, 16, 16, 16, 1), jnp.float32) * 3.0
+    cfg = DA5Config(p_blank_rectangles=1.0, p_per_channel=1.0)
+    y = blank_rectangles(x, jax.random.PRNGKey(0), cfg)
+    # constant input: region mean == 3 everywhere -> unchanged
+    np.testing.assert_allclose(np.asarray(y), 3.0, atol=1e-6)
+
+
+def test_da5_median3_exact():
+    import jax.numpy as jnp
+    from anatomask_tpu.data.augment_da5 import _median3
+    from scipy import ndimage
+    rng = np.random.RandomState(2)
+    x = rng.rand(1, 6, 7, 8, 1).astype(np.float32)
+    got = np.asarray(_median3(jnp.asarray(x)))[0, ..., 0]
+    expect = ndimage.median_filter(x[0, ..., 0], size=3, mode="nearest")
+    np.testing.assert_allclose(got, expect, atol=1e-6)
+
+
+def test_da5_trainer_config_wires_extras():
+    from anatomask_tpu.training.trainer import get_trainer_config
+    cfg = get_trainer_config("ATKTrainerDA5")
+    assert cfg.aggressive_da
