@@ -25,6 +25,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from anatomask_tpu.inference.export import export_prediction_from_logits
+
+
+def _preprocess_case_worker(plans_dict, configuration_name, dataset_json,
+                            image_files, prev_file, cascade_fg_labels, verbose):
+    """Spawn-safe preprocessing worker (reference preprocessing worker,
+    data_iterators.py:19-57): reconstructs the plans/configuration managers in
+    the child process and returns the preprocessed fp32 volume + properties."""
+    from anatomask_tpu.plans.plans_handler import PlansManager
+    pm = PlansManager(plans_dict)
+    cm = pm.get_configuration(configuration_name)
+    rw = pm.image_reader_writer_class()
+    pp = cm.preprocessor_class(verbose=verbose)
+    data, props = rw.read_images(image_files)
+    seg_prev = rw.read_seg(prev_file)[0][0] if prev_file else None
+    data_pp, _ = pp.run_case_npy(data, None, props, pm, cm, dataset_json)
+    if seg_prev is not None and cascade_fg_labels:
+        from anatomask_tpu.plans.label_handling import convert_labelmap_to_one_hot
+        onehot = convert_labelmap_to_one_hot(seg_prev, cascade_fg_labels,
+                                             output_dtype=data_pp.dtype)
+        data_pp = np.vstack([data_pp, onehot])
+    return data_pp, props
 from anatomask_tpu.inference.sliding_window import make_tile_predictor, sliding_window_predict
 from anatomask_tpu.models.build import build_network_from_plans
 from anatomask_tpu.plans.label_handling import determine_num_input_channels
@@ -58,6 +79,7 @@ class Predictor:
         self.list_of_parameters: List[dict] = []
         self.allowed_mirroring_axes: Optional[Sequence[int]] = None
         self.label_manager = None
+        self._configuration_name: Optional[str] = None
         self._tile_fn = None
 
     # --- initialization -------------------------------------------------------
@@ -84,6 +106,7 @@ class Predictor:
             mirror_axes = meta.get("inference_allowed_mirroring_axes", mirror_axes)
             arch_name = meta.get("network_arch_name", arch_name)
 
+        self._configuration_name = configuration_name or "3d_fullres"
         configuration_manager = plans_manager.get_configuration(configuration_name or "3d_fullres")
         num_input_channels = determine_num_input_channels(plans_manager, configuration_manager, dataset_json)
         label_manager = plans_manager.get_label_manager(dataset_json)
@@ -178,6 +201,21 @@ class Predictor:
             logits, self.plans_manager, self.configuration_manager,
             self.label_manager, props,
         )
+
+    def _make_preprocessing_pool(self, num_workers: int):
+        """(executor, is_process_pool). Worker PROCESSES when num_workers > 1
+        and a configuration name is known (needed to rebuild the managers in
+        the child); threads otherwise."""
+        if num_workers > 1 and self._configuration_name is not None:
+            try:
+                from concurrent.futures import ProcessPoolExecutor
+                ctx = multiprocessing.get_context("spawn")
+                return ProcessPoolExecutor(max_workers=num_workers,
+                                           mp_context=ctx), True
+            except Exception as e:
+                if self.verbose:
+                    print(f"process pool unavailable ({e}); using threads")
+        return ThreadPoolExecutor(max_workers=max(1, num_workers)), False
 
     def _stack_previous_stage(self, data: np.ndarray, prev_seg: np.ndarray) -> np.ndarray:
         from anatomask_tpu.plans.label_handling import convert_labelmap_to_one_hot
@@ -284,27 +322,37 @@ class Predictor:
                 data_pp = self._stack_previous_stage(data_pp, seg_prev)
             return data_pp, props
 
-        # preprocessing is prefetched in background threads and export runs
-        # off-thread, so the device pipeline never waits on host I/O
-        # (reference: preprocessing_iterator_fromfiles + async export pool)
+        # preprocessing is prefetched in N WORKER PROCESSES (reference
+        # preprocessing_iterator_fromfiles spawns num_processes workers with a
+        # bounded queue, data_iterators.py:60); export runs off-thread so the
+        # device pipeline never waits on host I/O. Falls back to threads when
+        # multiprocessing is unavailable (or num_processes_preprocessing <= 1).
+        pp_pool_cm, is_procs = self._make_preprocessing_pool(num_processes_preprocessing)
         with ThreadPoolExecutor(max_workers=max(1, num_processes_segmentation_export)) as export_pool, \
-                ThreadPoolExecutor(max_workers=max(1, num_processes_preprocessing)) as pp_pool:
+                pp_pool_cm as pp_pool:
+            if is_procs:
+                cfg_name = self._configuration_name
+                fg = tuple(self.label_manager.foreground_labels) if (
+                    self.configuration_manager.previous_stage_name is not None) else None
+                submit = lambda im, pv: pp_pool.submit(
+                    _preprocess_case_worker, self.plans_manager.plans, cfg_name,
+                    self.dataset_json, im, pv, fg, self.verbose)
+            else:
+                submit = lambda im, pv: pp_pool.submit(_load_and_preprocess, im, pv)
             # bounded prefetch window: at most num_processes_preprocessing + 1
             # cases in flight, so completed fp32 volumes cannot accumulate
             # unboundedly ahead of the sequential prediction consumer
             # (reference bounds its preprocessing queue the same way).
             window = max(1, num_processes_preprocessing) + 1
             work = list(zip(lists, prev_files))
-            pp_futures = [pp_pool.submit(_load_and_preprocess, im, pv)
-                          for im, pv in work[:window]]
+            pp_futures = [submit(im, pv) for im, pv in work[:window]]
             next_submit = len(pp_futures)
             futures = []
             for i, out_file in enumerate(out_files):
                 data_pp, props = pp_futures[i].result()
                 pp_futures[i] = None  # release the preprocessed volume
                 if next_submit < len(work):
-                    pp_futures.append(pp_pool.submit(
-                        _load_and_preprocess, *work[next_submit]))
+                    pp_futures.append(submit(*work[next_submit]))
                     next_submit += 1
                 logits = self.predict_sliding_window_return_logits(data_pp)
                 if out_file is not None:

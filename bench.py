@@ -28,16 +28,18 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-# Provisional A100 torch reference estimate for AnatoMask pretraining at
-# bs 4 / patch (112,112,128): ~2 steps/s is optimistic for two fwd + one bwd of
-# STUNet-B enc+dec in fp16 on A100 => ~6 patches/s. Documented estimate, not a
-# measurement (BASELINE.md: "baselines must be measured").
-BASELINE_A100_PATCHES_PER_SEC = 6.0
+# FLOP-derived A100 torch reference baseline (BASELINE.md "Derived A100
+# pretraining baseline"; probes/flops_baseline.py): 25.3 TFLOP/step at bs 4,
+# 15-25% sustained A100 fp16 utilization => 7.4-12.3 patches/s; midpoint 10.
+BASELINE_A100_PATCHES_PER_SEC = 10.0
 
 BATCH = 4
 PATCH = (112, 112, 128)
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
+# experiment knobs (defaults are the shipped configuration)
+MICRO_ENV = int(os.environ.get("ATK_BENCH_MICRO", "2"))
+REMAT_ENV = os.environ.get("ATK_BENCH_REMAT", "1") == "1"
 
 
 def main():
@@ -48,7 +50,7 @@ def main():
 
     cfg = PretrainConfig(
         method="anatomask", model_size="B", patch_size=PATCH, batch_size=BATCH,
-        mask_ratio=0.6, compute_dtype="bfloat16", remat=True,
+        mask_ratio=0.6, compute_dtype="bfloat16", remat=REMAT_ENV,
     )
     model = build_spark_model(cfg, in_channels=1)
     rng = jax.random.PRNGKey(0)
@@ -66,7 +68,7 @@ def main():
     # Every norm in the pretraining path is per-sample (InstanceNorm), so
     # microbatch gradient accumulation is EXACTLY the bs-4 gradient; it halves
     # the activation peak so the full reference workload fits 16G HBM.
-    MICRO = 2
+    MICRO = MICRO_ENV
 
     def micro_grads(params, ema_params, rng, x):
         k1, k2 = jax.random.split(rng)
