@@ -11,6 +11,7 @@ from typing import Optional, Type
 
 from anatomask_tpu.imageio.base import BaseReaderWriter
 from anatomask_tpu.imageio.natural_image import NaturalImage2DIO
+from anatomask_tpu.imageio.meta_image import MetaImageIO
 from anatomask_tpu.imageio.nifti import NiftiIO, NiftiIOWithReorient
 from anatomask_tpu.imageio.numpy_io import NumpyIO
 from anatomask_tpu.imageio.tiff_io import Tiff3DIO
@@ -21,6 +22,7 @@ _REGISTRY = {
     "NumpyIO": NumpyIO,
     "NaturalImage2DIO": NaturalImage2DIO,
     "Tiff3DIO": Tiff3DIO,
+    "MetaImageIO": MetaImageIO,
     # aliases for nnU-Net dataset.json compatibility
     "SimpleITKIO": NiftiIO,
     "NibabelIO": NiftiIO,
@@ -31,6 +33,7 @@ _ENDING_MAP = [
     ([".nii", ".nii.gz"], NiftiIO),
     ([".npy", ".npz"], NumpyIO),
     ([".tif", ".tiff"], Tiff3DIO),
+    ([".mha", ".nrrd"], MetaImageIO),
     ([".png", ".bmp", ".jpg", ".jpeg"], NaturalImage2DIO),
 ]
 

@@ -60,14 +60,19 @@ def unflatten_tree(flat: Dict[str, np.ndarray]):
     return fix_lists(root)
 
 
-def save_checkpoint(path: str, arrays: dict, metadata: Optional[dict] = None):
+def save_checkpoint(path: str, arrays: dict, metadata: Optional[dict] = None,
+                    compress: bool = False):
     """arrays: pytree(s) of ndarrays (e.g. {'network_weights': params, ...});
-    metadata: JSON-serializable dict."""
+    metadata: JSON-serializable dict. Uncompressed by default: zlib on
+    hundreds of MB of fp32 weights costs tens of seconds PER EPOCH (the
+    trainers save latest/best every epoch); set compress=True for archival
+    copies. Loading accepts both."""
     flat = flatten_tree(jax.tree_util.tree_map(np.asarray, arrays))
     meta = json.dumps(metadata or {})
     tmp = path + ".tmp"
+    saver = np.savez_compressed if compress else np.savez
     with open(tmp, "wb") as f:
-        np.savez_compressed(f, __metadata__=np.frombuffer(meta.encode(), dtype=np.uint8), **flat)
+        saver(f, __metadata__=np.frombuffer(meta.encode(), dtype=np.uint8), **flat)
     os.replace(tmp, path)
 
 

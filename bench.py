@@ -40,6 +40,7 @@ MEASURE_STEPS = 10
 # experiment knobs (defaults are the shipped configuration)
 MICRO_ENV = int(os.environ.get("ATK_BENCH_MICRO", "2"))
 REMAT_ENV = os.environ.get("ATK_BENCH_REMAT", "1") == "1"
+SCAN_ENV = os.environ.get("ATK_BENCH_SCAN", "0") == "1"
 
 
 def main():
@@ -85,13 +86,29 @@ def main():
 
     def train_step(params, ema_params, opt_state, rng, x):
         keys = jax.random.split(rng, MICRO)
-        grads = None
-        losses = []
-        for i in range(MICRO):  # unrolled: simpler XLA program than lax.scan
-            xb = x[i * (BATCH // MICRO):(i + 1) * (BATCH // MICRO)]
-            loss_i, g_i = micro_grads(params, ema_params, keys[i], xb)
-            grads = g_i if grads is None else jax.tree_util.tree_map(jnp.add, grads, g_i)
-            losses.append(loss_i)
+        mb = BATCH // MICRO
+        if SCAN_ENV and MICRO > 1:
+            # lax.scan FORCES sequential microbatch execution, so only one
+            # microbatch's activations are live at a time (the unrolled form
+            # lets XLA interleave them and blow HBM in noremat mode)
+            xs = x.reshape(MICRO, mb, *x.shape[1:])
+
+            def body(acc, inp):
+                k_i, xb = inp
+                loss_i, g_i = micro_grads(params, ema_params, k_i, xb)
+                return jax.tree_util.tree_map(jnp.add, acc, g_i), loss_i
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, losses = jax.lax.scan(body, zeros, (keys, xs))
+            losses = list(losses)
+        else:
+            grads = None
+            losses = []
+            for i in range(MICRO):  # unrolled
+                xb = x[i * mb:(i + 1) * mb]
+                loss_i, g_i = micro_grads(params, ema_params, keys[i], xb)
+                grads = g_i if grads is None else jax.tree_util.tree_map(jnp.add, grads, g_i)
+                losses.append(loss_i)
         grads = jax.tree_util.tree_map(lambda g: g / MICRO, grads)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

@@ -1,0 +1,132 @@
+"""Accuracy-parity evidence on the REAL TPU (VERDICT round-2 item 6):
+Spleen-scale synthetic CT -> plan/preprocess -> AnatoMask pretrain (STUNet-B
+head, reference patch 112x112x128, bs 4, grad-accum 2) with the full host
+pipeline (sampler + on-device augmentation) -> finetune STUNet-B with vs
+without the pretrained encoder -> pseudo-Dice curves.
+
+Writes probes/accuracy_loop_result.json and prints progress. One TPU process
+at a time.
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("ATK_raw", "/tmp/acc/raw")
+os.environ.setdefault("ATK_preprocessed", "/tmp/acc/pp")
+os.environ.setdefault("ATK_results", "/tmp/acc/res")
+for d in ("raw", "pp", "res"):
+    os.makedirs(f"/tmp/acc/{d}", exist_ok=True)
+
+import jax
+
+_cache = os.path.join(os.path.expanduser("~"), ".cache", "atk_jax_bench_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+PRETRAIN_EPOCHS = int(os.environ.get("ACC_PRETRAIN_EPOCHS", "8"))
+FT_EPOCHS = int(os.environ.get("ACC_FT_EPOCHS", "6"))
+ITERS = int(os.environ.get("ACC_ITERS", "20"))
+DSET = "Dataset955_AccLoop"
+
+
+def make_data():
+    from anatomask_tpu import paths
+    paths.refresh()
+    from synthetic import make_synthetic_dataset
+    if not os.path.isdir(f"/tmp/acc/raw/{DSET}"):
+        make_synthetic_dataset("/tmp/acc/raw", DSET, num_cases=16,
+                               shape=(128, 132, 144), num_labels=2, seed=7)
+        print("dataset written", flush=True)
+    from anatomask_tpu.cli import plan_and_preprocess_entry
+    if not os.path.isdir(f"/tmp/acc/pp/{DSET}/ATKPlans_3d_fullres"):
+        plan_and_preprocess_entry(["-d", "955", "-c", "3d_fullres", "-np", "4"])
+        print("preprocessed", flush=True)
+
+
+def pretrain():
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, PretrainTrainer
+    cfg = PretrainConfig(
+        method="anatomask", model_size="B", patch_size=(112, 112, 128),
+        batch_size=4, mask_ratio=0.6, num_epochs=PRETRAIN_EPOCHS,
+        iters_per_epoch=ITERS, compute_dtype="bfloat16",
+        warmup_epochs=1, grad_accum_steps=2, num_workers=4, remat=True,
+    )
+    t = PretrainTrainer("955", cfg)
+    t0 = time.time()
+    history = t.run_pretraining()
+    wall = time.time() - t0
+    # warm end-to-end epoch times (host pipeline included, no compile): parse
+    # the per-epoch log lines
+    import re
+    times = []
+    with open(os.path.join(t.output_folder, "pretrain_log.txt")) as f:
+        for line in f:
+            m = re.search(r"time ([\d.]+)s", line)
+            if m:
+                times.append(float(m.group(1)))
+    warm = sorted(times[2:])[len(times[2:]) // 2] if len(times) > 3 else (times[-1] if times else None)
+    out = os.path.join(t.output_folder, "checkpoint_final.npz")
+    return history, out, wall, warm
+
+
+def finetune(pretrained_ckpt):
+    from dataclasses import replace
+    from anatomask_tpu.plans.plans_handler import load_json
+    from anatomask_tpu.training.trainer import Trainer, stunet_trainer_config
+    from anatomask_tpu.ssl.pretrain import load_ssl_encoder_into_trainer
+
+    pp = f"/tmp/acc/pp/{DSET}"
+    dataset_json = load_json(os.path.join(pp, "dataset.json"))
+    results = {}
+    for tag, ckpt in (("scratch", None), ("pretrained", pretrained_ckpt)):
+        cfg = stunet_trainer_config(
+            "B", name=f"STUNetTrainer_base_{tag}", num_epochs=FT_EPOCHS,
+            num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
+            num_workers=4, save_every=100,
+        )
+        tr = Trainer(os.path.join(pp, "ATKPlans.json"), "3d_fullres", 0,
+                     dataset_json, cfg)
+        tr.disable_checkpointing = True
+        tr.initialize()
+        if ckpt:
+            load_ssl_encoder_into_trainer(tr, ckpt)
+        tr.run_training()
+        results[tag] = {
+            "ema_fg_dice": [float(v) for v in tr.logger.logging["ema_fg_dice"]],
+            "mean_fg_dice": [float(v) for v in tr.logger.logging["mean_fg_dice"]],
+            "train_losses": [float(v) for v in tr.logger.logging["train_losses"]],
+        }
+        print(f"{tag}: dice curve {results[tag]['mean_fg_dice']}", flush=True)
+    return results
+
+
+def main():
+    make_data()
+    history, ckpt, wall, warm_epoch_s = pretrain()
+    report = {
+        "pretrain": {
+            "epochs": PRETRAIN_EPOCHS, "iters_per_epoch": ITERS, "batch": 4,
+            "patch": [112, 112, 128],
+            "recon_train_loss": [round(v, 4) for v in history["train_loss"]],
+            "recon_val_loss": [round(v, 4) for v in history["val_loss"]],
+            "wall_s_total": round(wall, 1),
+            "warm_epoch_s": warm_epoch_s,
+            "e2e_patches_per_sec_warm_incl_host_pipeline": (
+                round(ITERS * 4 / warm_epoch_s, 3) if warm_epoch_s else None),
+        },
+    }
+    print(json.dumps(report), flush=True)
+    report["finetune"] = finetune(ckpt)
+    with open(os.path.join(os.path.dirname(__file__), "accuracy_loop_result.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print("DONE", flush=True)
+    print(json.dumps(report["finetune"], indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -179,3 +179,54 @@ def test_registry_reorient_alias():
     from anatomask_tpu.imageio.registry import find_reader_writer_by_name
     assert find_reader_writer_by_name("NibabelIOWithReorient") is NiftiIOWithReorient
     assert find_reader_writer_by_name("NiftiIOWithReorient") is NiftiIOWithReorient
+
+
+def test_mha_roundtrip(tmp_path):
+    import numpy as np
+    from anatomask_tpu.imageio.meta_image import MetaImageIO, read_mha, write_mha
+    rng = np.random.RandomState(5)
+    vol = (rng.rand(6, 7, 8) * 100).astype(np.float32)  # (x, y, z)
+    f = str(tmp_path / "t.mha")
+    write_mha(f, vol, spacing_xyz=(1.5, 2.0, 2.5))
+    data, h = read_mha(f)
+    np.testing.assert_allclose(data, vol, atol=1e-6)
+    assert h["spacing_xyz"] == (1.5, 2.0, 2.5)
+
+    io = MetaImageIO()
+    img, props = io.read_images([f])
+    assert img.shape == (1, 8, 7, 6)          # (c, z, y, x)
+    assert props["spacing"] == [2.5, 2.0, 1.5]
+    seg = (img[0] > 50).astype(np.uint8)
+    out = str(tmp_path / "seg.mha")
+    io.write_seg(seg, out, props)
+    seg_back, props2 = io.read_seg(out)
+    np.testing.assert_array_equal(seg_back[0], seg)
+    assert props2["spacing"] == [2.5, 2.0, 1.5]
+
+
+def test_nrrd_roundtrip(tmp_path):
+    import numpy as np
+    from anatomask_tpu.imageio.meta_image import MetaImageIO, read_nrrd, write_nrrd
+    rng = np.random.RandomState(6)
+    vol = (rng.rand(5, 6, 7) * 50).astype(np.float32)
+    f = str(tmp_path / "t.nrrd")
+    write_nrrd(f, vol, spacing_xyz=(1.0, 1.25, 2.0))
+    data, h = read_nrrd(f)
+    np.testing.assert_allclose(data, vol, atol=1e-6)
+    np.testing.assert_allclose(h["spacing_xyz"], (1.0, 1.25, 2.0))
+
+    io = MetaImageIO()
+    img, props = io.read_images([f])
+    assert img.shape == (1, 7, 6, 5)
+    seg = (img[0] > 25).astype(np.uint8)
+    out = str(tmp_path / "seg.nrrd")
+    io.write_seg(seg, out, props)
+    seg_back, _ = io.read_seg(out)
+    np.testing.assert_array_equal(seg_back[0], seg)
+
+
+def test_meta_image_registry(tmp_path):
+    from anatomask_tpu.imageio.meta_image import MetaImageIO
+    from anatomask_tpu.imageio.registry import determine_reader_writer_from_file_ending
+    assert determine_reader_writer_from_file_ending(".mha") is MetaImageIO
+    assert determine_reader_writer_from_file_ending(".nrrd") is MetaImageIO
