@@ -290,14 +290,36 @@ class Predictor:
         part_id: int = 0,
     ):
         if isinstance(output_folder_or_list, str):
+            # full provenance (reference predict_from_raw_data.py:326-339: every
+            # predict_from_files argument + dataset.json + plans.json, so
+            # postprocessing/ensembling can reconstruct the run)
             os.makedirs(output_folder_or_list, exist_ok=True)
+            args = {
+                "list_of_lists_or_source_folder": (
+                    list_of_lists_or_source_folder
+                    if isinstance(list_of_lists_or_source_folder, str)
+                    else [list(l) for l in list_of_lists_or_source_folder]),
+                "output_folder_or_list": output_folder_or_list,
+                "save_probabilities": save_probabilities,
+                "overwrite": overwrite,
+                "num_processes_preprocessing": num_processes_preprocessing,
+                "num_processes_segmentation_export": num_processes_segmentation_export,
+                "folder_with_segs_from_prev_stage": folder_with_segs_from_prev_stage,
+                "num_parts": num_parts, "part_id": part_id,
+                "tile_step_size": self.tile_step_size,
+                "use_gaussian": self.use_gaussian,
+                "use_mirroring": self.use_mirroring,
+                "tile_batch_size": self.tile_batch_size,
+                "configuration_name": self._configuration_name,
+            }
             with open(os.path.join(output_folder_or_list, "predict_from_raw_data_args.json"), "w") as f:
-                json.dump({
-                    "tile_step_size": self.tile_step_size,
-                    "use_gaussian": self.use_gaussian,
-                    "use_mirroring": self.use_mirroring,
-                    "num_parts": num_parts, "part_id": part_id,
-                }, f, indent=2)
+                json.dump(args, f, indent=2)
+            if self.dataset_json is not None:
+                with open(os.path.join(output_folder_or_list, "dataset.json"), "w") as f:
+                    json.dump(self.dataset_json, f, indent=2, sort_keys=False)
+            if self.plans_manager is not None:
+                with open(os.path.join(output_folder_or_list, "plans.json"), "w") as f:
+                    json.dump(self.plans_manager.plans, f, indent=2, sort_keys=False)
 
         lists, out_files, prev_files = self._manage_input_and_output_lists(
             list_of_lists_or_source_folder, output_folder_or_list,
