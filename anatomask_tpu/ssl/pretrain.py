@@ -353,7 +353,8 @@ class PretrainTrainer:
             return grads, jnp.mean(losses)
 
         def spark_step(params, opt_state, rng, data, seg):
-            k_aug, *keys = jax.random.split(rng, micro + 1)
+            ks = jax.random.split(rng, micro + 1)
+            k_aug, keys = ks[0], ks[1:]  # keys stays a key ARRAY (scan input)
             x = prep(k_aug, data, seg)
 
             def micro_grads(k, xb):
@@ -372,7 +373,8 @@ class PretrainTrainer:
 
         def anatomask_step(params, ema_params, opt_state, rng, data, seg,
                            ema_decay, len_loss):
-            k_aug, *keys = jax.random.split(rng, micro + 1)
+            ks = jax.random.split(rng, micro + 1)
+            k_aug, keys = ks[0], ks[1:]  # keys stays a key ARRAY (scan input)
             x = prep(k_aug, data, seg)
 
             def micro_grads(k, xb):

@@ -172,3 +172,18 @@ def test_cli_pretrain_full_stunet_head(tmp_path):
             if "conv_blocks_context" in k and k in flat_m
             and np.array_equal(flat_m[k], flat_ssl[k])]
     assert len(hits) >= 30  # all 5 encoder stages transferred
+
+
+def test_anatomask_pretraining_with_grad_accum(prepared):
+    """grad_accum_steps > 1 path (lax.scan accumulation) runs end-to-end.
+    batch 16 on the 8-device mesh -> 2 microbatches of 8."""
+    from dataclasses import replace
+    from anatomask_tpu.ssl.pretrain import PretrainTrainer
+    cfg = replace(_tiny_cfg("anatomask"), batch_size=16, grad_accum_steps=2,
+                  num_epochs=1, iters_per_epoch=1)
+    t = PretrainTrainer("Dataset904_PT", cfg)
+    t.output_folder = t.output_folder + "_accum"
+    os.makedirs(t.output_folder, exist_ok=True)
+    history = t.run_pretraining()
+    assert t.grad_accum_steps == 2
+    assert np.isfinite(history["train_loss"][0])
