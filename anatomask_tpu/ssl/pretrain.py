@@ -425,6 +425,8 @@ class PretrainTrainer:
 
     # --- checkpointing --------------------------------------------------------
     def save_checkpoint(self, filename: str, extra_meta: Optional[dict] = None):
+        if jax.process_index() != 0:
+            return  # replicated params: host 0 writes for everyone
         meta = {
             "method": self.cfg.method,
             "model_size": self.cfg.model_size,

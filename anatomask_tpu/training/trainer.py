@@ -658,6 +658,8 @@ class Trainer:
     def save_checkpoint(self, filename: str):
         if self.disable_checkpointing:
             return
+        if jax.process_index() != 0:
+            return  # replicated params: host 0 writes for everyone
         meta = {
             "trainer_name": self.cfg.name,
             "configuration_name": self.configuration_name,
@@ -876,6 +878,11 @@ class Trainer:
         validation_output_folder = os.path.join(self.output_folder, "validation")
         os.makedirs(validation_output_folder, exist_ok=True)
         _, val_keys = self.do_split()
+        if jax.process_count() > 1:
+            # DDP-style validation key sharding (reference nnUNetTrainer.py:
+            # 1132-1133, val_keys[rank::world]); each host predicts its slice,
+            # host 0 computes the metrics afterwards
+            val_keys = val_keys[jax.process_index()::jax.process_count()]
         dataset_val = CaseDataset(self.preprocessed_dataset_folder, val_keys)
 
         next_stages = cm.next_stage_names
@@ -902,6 +909,8 @@ class Trainer:
                         self.plans_manager, cm, properties, self.dataset_json,
                     )
 
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return None  # host 0 computes metrics once all shards are written
         gt_folder = os.path.join(self.preprocessed_dataset_folder_base, "gt_segmentations")
         if not os.path.isdir(gt_folder):
             gt_folder = os.path.join(
