@@ -419,6 +419,9 @@ def make_train_augment_fn(cfg: AugmentConfig):
 
     def augment(rng, data, seg):
         keys = jax.random.split(rng, 11)
+        # interpolation and intensity statistics in f32 regardless of the
+        # transfer dtype (bf16 H2D halves host-link bytes; see PrefetchPipeline)
+        data = data.astype(jnp.float32)
         data, seg = spatial_augment(data, seg, keys[0], cfg.spatial)
         data = gaussian_noise(data, keys[1], ic)
         if cfg.da5 is None:

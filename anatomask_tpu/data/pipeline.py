@@ -23,11 +23,16 @@ class PrefetchPipeline:
     per-sampler RNG keeps contents reproducible with num_workers=1."""
 
     def __init__(self, sampler, num_workers: int = 3, prefetch_depth: int = 4,
-                 device_put: bool = False):
+                 device_put: bool = False, transfer_dtype=None):
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self.device_put = device_put
+        # cast the float image channels before the H2D transfer (bf16 halves
+        # the bytes through the host link; the on-device augmentation upcasts
+        # to f32 for interpolation, so this matches the reference's AMP
+        # numerics class)
+        self.transfer_dtype = transfer_dtype
         self._stop = threading.Event()
         self._threads = []
         self._started = False
@@ -53,6 +58,12 @@ class PrefetchPipeline:
                 self.queue.put(e)
                 return
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if self.transfer_dtype is not None:
+                arrays = {
+                    k: (v.astype(self.transfer_dtype)
+                        if np.issubdtype(v.dtype, np.floating) else v)
+                    for k, v in arrays.items()
+                }
             if self.device_put:
                 arrays = jax.device_put(arrays)
             while not self._stop.is_set():

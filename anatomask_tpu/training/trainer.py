@@ -646,10 +646,11 @@ class Trainer:
         )
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
+        tdt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
         self.loader_train = PrefetchPipeline(
             self.sampler_train, num_workers=n_workers,
             # multi-host assembles global arrays itself (_to_global)
-            device_put=jax.process_count() == 1)
+            device_put=jax.process_count() == 1, transfer_dtype=tdt)
         self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=max(1, n_workers // 2))
         self._val_keys = val_keys
         return self.loader_train, self.loader_val
