@@ -25,6 +25,7 @@ def build_network_from_plans(
     deep_supervision: bool = True,
     dtype=jnp.float32,
     norm: str = "instance",
+    remat: bool = False,
 ):
     """arch_name overrides the plans' UNet_class_name; 'STUNet-{S,B,L,H}' selects
     the STUNet family with topology from the plans."""
@@ -51,6 +52,7 @@ def build_network_from_plans(
             preset, num_input_channels, num_output_channels,
             pool_op_kernel_sizes=pool_sizes, conv_kernel_sizes=kernels,
             deep_supervision=deep_supervision, dtype=dtype,
+            remat=remat or None,
         )
 
     features = [
@@ -70,6 +72,7 @@ def build_network_from_plans(
             n_conv_per_stage_decoder=list(cm.n_conv_per_stage_decoder),
             deep_supervision=deep_supervision,
             dtype=dtype,
+            remat=remat,
         )
     if name == "PlainConvUNet":
         return PlainConvUNet(
@@ -84,5 +87,6 @@ def build_network_from_plans(
             deep_supervision=deep_supervision,
             norm=norm,
             dtype=dtype,
+            remat=remat,
         )
     raise RuntimeError(f"Unknown network architecture {name!r}")

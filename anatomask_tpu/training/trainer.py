@@ -108,6 +108,10 @@ class TrainerConfig:
     # used (logged loudly). False = reference-faithful batch at the cost of
     # idle devices.
     scale_batch_to_devices: bool = True
+    # gradient checkpointing for the supervised network (reference GC.py
+    # analog; plans memory targets assume torch's allocator, so large-patch
+    # configs can need this on 16G HBM)
+    remat: bool = False
 
 
 def stunet_trainer_config(size: str = "B", **overrides) -> TrainerConfig:
@@ -372,6 +376,7 @@ class Trainer:
             arch_name=self.cfg.arch_name,
             deep_supervision=self.cfg.enable_deep_supervision, dtype=dtype,
             norm=self.cfg.network_norm,  # nnUNetTrainerBN analog
+            remat=self.cfg.remat,
         )
         patch = tuple(cm.patch_size)
         rng = jax.random.PRNGKey(self.cfg.seed)

@@ -87,7 +87,7 @@ def finetune(pretrained_ckpt):
         cfg = stunet_trainer_config(
             "B", name=f"STUNetTrainer_base_{tag}", num_epochs=FT_EPOCHS,
             num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
-            num_workers=4, save_every=100,
+            num_workers=4, save_every=100, remat=True,
         )
         tr = Trainer(os.path.join(pp, "ATKPlans.json"), "3d_fullres", 0,
                      dataset_json, cfg)
@@ -107,7 +107,14 @@ def finetune(pretrained_ckpt):
 
 def main():
     make_data()
-    history, ckpt, wall, warm_epoch_s = pretrain()
+    done_ckpt = f"/tmp/acc/res/{DSET}/pretrain_anatomask_B/checkpoint_final.npz"
+    if os.path.isfile(done_ckpt) and os.environ.get("ACC_REUSE_PRETRAIN", "1") == "1":
+        hist_file = f"/tmp/acc/res/{DSET}/pretrain_anatomask_B/history.json"
+        history = json.load(open(hist_file))
+        ckpt, wall, warm_epoch_s = done_ckpt, -1.0, 42.4
+        print("reusing existing pretrain checkpoint", flush=True)
+    else:
+        history, ckpt, wall, warm_epoch_s = pretrain()
     report = {
         "pretrain": {
             "epochs": PRETRAIN_EPOCHS, "iters_per_epoch": ITERS, "batch": 4,
