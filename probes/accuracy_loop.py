@@ -82,6 +82,20 @@ def finetune(pretrained_ckpt):
 
     pp = f"/tmp/acc/pp/{DSET}"
     dataset_json = load_json(os.path.join(pp, "dataset.json"))
+    # 96^3 finetune configuration reusing the 3d_fullres preprocessed data
+    # (identical for both arms; plans' 128^3 patch exceeds 16G HBM for the
+    # supervised STUNet-B jit step even with remat)
+    from anatomask_tpu.plans.plans_handler import save_json
+    plans = load_json(os.path.join(pp, "ATKPlans.json"))
+    if "ft96" not in plans["configurations"]:
+        fullres = plans["configurations"]["3d_fullres"]
+        plans["configurations"]["ft96"] = {
+            "inherits_from": "3d_fullres",
+            "data_identifier": fullres["data_identifier"],
+            "patch_size": [96, 96, 96],
+            "batch_size": 2,
+        }
+        save_json(plans, os.path.join(pp, "ATKPlans.json"), sort_keys=False)
     results = {}
     for tag, ckpt in (("scratch", None), ("pretrained", pretrained_ckpt)):
         cfg = stunet_trainer_config(
@@ -89,7 +103,7 @@ def finetune(pretrained_ckpt):
             num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
             num_workers=4, save_every=100, remat=True,
         )
-        tr = Trainer(os.path.join(pp, "ATKPlans.json"), "3d_fullres", 0,
+        tr = Trainer(os.path.join(pp, "ATKPlans.json"), "ft96", 0,
                      dataset_json, cfg)
         tr.disable_checkpointing = True
         tr.initialize()
