@@ -57,6 +57,11 @@ def test_two_process_data_parallel(tmp_path):
     script.write_text(_WORKER)
     port = str(29000 + os.getpid() % 1000)
     env = dict(os.environ)
+    # workers run a script from tmp_path: the repo root is NOT implicitly on
+    # their sys.path, so pass it explicitly
+    import anatomask_tpu
+    repo_root = os.path.dirname(os.path.dirname(anatomask_tpu.__file__))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("JAX_COORDINATOR_ADDRESS", None)
