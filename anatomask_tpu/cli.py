@@ -23,6 +23,22 @@ if os.environ.get("JAX_PLATFORMS"):
     except Exception:
         pass
 
+# Persistent XLA compilation cache for every CLI entry: the big jitted train
+# steps take minutes to compile (tens of minutes through a remote-compile
+# tunnel); a warm cache makes restarts/resumes near-instant. Override the
+# location with ATK_COMPILE_CACHE; set it empty to disable.
+_cache_dir = os.environ.get(
+    "ATK_COMPILE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "atk_jax_cli_cache"))
+if _cache_dir:
+    try:
+        import jax as _jax
+        os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 from anatomask_tpu.plans.plans_handler import load_json
 
 
@@ -124,7 +140,12 @@ def train_entry(argv: Optional[List[str]] = None):
     p.add_argument("--val_best", action="store_true")
     p.add_argument("--npz", action="store_true", help="save softmax probabilities")
     p.add_argument("--disable_checkpointing", action="store_true")
+    p.add_argument("-num_gpus", type=int, default=None,
+                   help="cap the data mesh to the first N devices (reference "
+                        "run_training.py -num_gpus analog; default: all)")
     a = p.parse_args(argv)
+    if a.num_gpus:
+        os.environ["ATK_NUM_DEVICES"] = str(a.num_gpus)
 
     from anatomask_tpu.parallel.mesh import maybe_initialize_distributed
     maybe_initialize_distributed()  # multi-host: DCN across hosts, one SPMD program
@@ -172,7 +193,11 @@ def pretrain_entry(argv: Optional[List[str]] = None):
                    help="microbatch gradient-accumulation steps (exact for "
                         "per-sample norms; 2 fits the reference STUNet-B bs-4 "
                         "112x112x128 workload in 16G HBM)")
+    p.add_argument("-num_gpus", type=int, default=None,
+                   help="cap the data mesh to the first N devices (default: all)")
     a = p.parse_args(argv)
+    if a.num_gpus:
+        os.environ["ATK_NUM_DEVICES"] = str(a.num_gpus)
     from anatomask_tpu.parallel.mesh import maybe_initialize_distributed
     maybe_initialize_distributed()
     from anatomask_tpu.ssl.pretrain import PretrainConfig, PretrainTrainer

@@ -238,10 +238,19 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
             pos = pos + disp_i
         d = jax.vmap(lambda c: data_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
             data_i.astype(jnp.float32))
+        if seg_i is None:
+            return d, 0.0
         s = jax.vmap(lambda c: _nearest_sample(c, pos, -1.0), in_axes=-1, out_axes=-1)(
             seg_i.astype(jnp.float32))
         return d, s
 
+    if seg is None:
+        # data-only path (SSL pretraining: no labels are transferred or warped)
+        if disp is None:
+            data_out, _ = jax.vmap(lambda a, d: warp_one(a, d, None, None))(A, data)
+        else:
+            data_out, _ = jax.vmap(lambda a, d, di: warp_one(a, d, None, di))(A, data, disp)
+        return data_out, None
     if disp is None:
         data_out, seg_out = jax.vmap(lambda a, d, sg: warp_one(a, d, sg, None))(A, data, seg)
     else:
@@ -389,7 +398,8 @@ def mirror(data, seg, rng, mirror_axes: Sequence[int]):
     for i, ax in enumerate(mirror_axes):
         f = flags[:, i].reshape(-1, 1, 1, 1, 1)
         data = jnp.where(f, jnp.flip(data, ax + 1), data)
-        seg = jnp.where(f, jnp.flip(seg, ax + 1), seg)
+        if seg is not None:
+            seg = jnp.where(f, jnp.flip(seg, ax + 1), seg)
     return data, seg
 
 
@@ -439,6 +449,9 @@ def make_train_augment_fn(cfg: AugmentConfig):
                 blur_fn=lambda x, k: gaussian_blur(x, k, ic))
         if cfg.mirror_axes:
             data, seg = mirror(data, seg, keys[8], cfg.mirror_axes)
+        if seg is None:
+            # data-only SSL path: no label targets to build
+            return data, None
         if cfg.mask_channels_for_norm:
             outside = (seg[..., :1] < 0)
             for ch in cfg.mask_channels_for_norm:

@@ -23,11 +23,16 @@ class PrefetchPipeline:
     per-sampler RNG keeps contents reproducible with num_workers=1."""
 
     def __init__(self, sampler, num_workers: int = 3, prefetch_depth: int = 4,
-                 device_put: bool = False, transfer_dtype=None):
+                 device_put: bool = False, transfer_dtype=None,
+                 drop_keys: tuple = ()):
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.queue: "queue.Queue" = queue.Queue(maxsize=prefetch_depth)
         self.device_put = device_put
+        # batch entries never to transfer (SSL pretraining drops "seg": the
+        # sampler needs labels for fg-oversampling but the SSL step does not —
+        # ~1/3 of the H2D bytes)
+        self.drop_keys = tuple(drop_keys)
         # cast the float image channels before the H2D transfer (bf16 halves
         # the bytes through the host link; the on-device augmentation upcasts
         # to f32 for interpolation, so this matches the reference's AMP
@@ -57,7 +62,8 @@ class PrefetchPipeline:
             except Exception as e:  # surface worker death to the consumer
                 self.queue.put(e)
                 return
-            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and k not in self.drop_keys}
             if self.transfer_dtype is not None:
                 arrays = {
                     k: (v.astype(self.transfer_dtype)

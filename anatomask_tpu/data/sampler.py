@@ -35,6 +35,7 @@ class PatchSampler:
         cascade_corruption: bool = False,
         cascade_p_binary_op: float = 0.4,
         cascade_p_remove_component: float = 0.2,
+        load_seg: bool = True,
     ):
         self.dataset = dataset
         self.indices = list(dataset.keys())
@@ -52,6 +53,9 @@ class PatchSampler:
         self.cascade_corruption = cascade_corruption
         self.cascade_p_binary_op = cascade_p_binary_op
         self.cascade_p_remove_component = cascade_p_remove_component
+        # SSL pretraining: labels feed only the fg-oversampling bbox logic
+        # (class_locations in the properties); skip the seg voxel crop/pad
+        self.load_seg = load_seg
         self.rng = np.random.RandomState(seed)
 
     def _do_oversample(self, sample_idx: int) -> bool:
@@ -154,27 +158,30 @@ class PatchSampler:
             valid_ubs = [min(int(s), u) for s, u in zip(shape, bbox_ubs)]
             slicer = tuple(slice(l, u) for l, u in zip(valid_lbs, valid_ubs))
             data_crop = np.asarray(data[(slice(None), *slicer)])
-            seg_crop = np.asarray(seg[(slice(None), *slicer)])
 
             pads = [(0, 0)] + [
                 (-min(0, l), max(u - int(s), 0))
                 for l, u, s in zip(bbox_lbs, bbox_ubs, shape)
             ]
             data_crop = np.pad(data_crop, pads, mode="constant", constant_values=0)
-            seg_crop = np.pad(seg_crop, pads, mode="constant", constant_values=-1)
 
-            if self.cascade_corruption and seg_crop.shape[0] > 1:
-                seg_crop[1] = self._corrupt_previous_stage(seg_crop[1])
+            seg_crop = None
+            if self.load_seg:
+                seg_crop = np.asarray(seg[(slice(None), *slicer)])
+                seg_crop = np.pad(seg_crop, pads, mode="constant", constant_values=-1)
+                if self.cascade_corruption and seg_crop.shape[0] > 1:
+                    seg_crop[1] = self._corrupt_previous_stage(seg_crop[1])
 
             if data_batch is None:
                 data_batch = np.empty((self.batch_size, *data_crop.shape), dtype=np.float32)
-                seg_batch = np.empty((self.batch_size, *seg_crop.shape), dtype=np.int16)
+                if self.load_seg:
+                    seg_batch = np.empty((self.batch_size, *seg_crop.shape), dtype=np.int16)
             data_batch[j] = data_crop
-            seg_batch[j] = seg_crop
+            if self.load_seg:
+                seg_batch[j] = seg_crop
 
         # channels-last for the device pipeline
-        return {
-            "data": np.moveaxis(data_batch, 1, -1),
-            "seg": np.moveaxis(seg_batch, 1, -1),
-            "keys": keys,
-        }
+        out = {"data": np.moveaxis(data_batch, 1, -1), "keys": keys}
+        if self.load_seg:
+            out["seg"] = np.moveaxis(seg_batch, 1, -1)
+        return out

@@ -256,6 +256,7 @@ class PretrainTrainer:
             annotated_classes_key=annotated_key,
             has_ignore=self.label_manager.has_ignore_label,
             seed=self.cfg.seed + 131071 * jax.process_index(),
+            load_seg=False,  # SSL: labels only steer oversampling
         )
         self.sampler_val = PatchSampler(
             ds_val, local_bs, patch, final_patch_size=patch,
@@ -263,15 +264,20 @@ class PretrainTrainer:
             annotated_classes_key=annotated_key,
             has_ignore=self.label_manager.has_ignore_label,
             seed=self.cfg.seed + 1 + 131071 * jax.process_index(),
+            load_seg=False,
         )
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
         tdt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+        # SSL uses no labels on-device: seg stays on the host (it only feeds
+        # the sampler's fg-oversampling), saving ~1/3 of the H2D bytes
         self.loader_train = PrefetchPipeline(
             self.sampler_train, num_workers=n_workers,
             # multi-host assembles global arrays itself (_to_global)
-            device_put=jax.process_count() == 1, transfer_dtype=tdt)
-        self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=1)
+            device_put=jax.process_count() == 1, transfer_dtype=tdt,
+            drop_keys=("seg",))
+        self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=1,
+                                           drop_keys=("seg",))
         self.n_train = len(train_keys)
         return self.loader_train, self.loader_val
 
@@ -325,9 +331,9 @@ class PretrainTrainer:
         optimizer = self.optimizer
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        def prep(rng, data, seg):
+        def prep(rng, data):
             if self.aug_config.spatial.p_rotation > 0 or data.shape[1:4] != tuple(cfg.patch_size):
-                data, _ = augment_fn(rng, data, seg)
+                data, _ = augment_fn(rng, data, None)  # data-only SSL path
             return data.astype(dtype)
 
         def _accumulate(micro_grads_fn, x, keys, params_like):
@@ -353,10 +359,10 @@ class PretrainTrainer:
             grads = jax.tree_util.tree_map(lambda g: g / micro, grads)
             return grads, jnp.mean(losses)
 
-        def spark_step(params, opt_state, rng, data, seg):
+        def spark_step(params, opt_state, rng, data):
             ks = jax.random.split(rng, micro + 1)
             k_aug, keys = ks[0], ks[1:]  # keys stays a key ARRAY (scan input)
-            x = prep(k_aug, data, seg)
+            x = prep(k_aug, data)
 
             def micro_grads(k, xb):
                 active = model.mask(k, xb.shape[0])
@@ -372,11 +378,11 @@ class PretrainTrainer:
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt, loss
 
-        def anatomask_step(params, ema_params, opt_state, rng, data, seg,
+        def anatomask_step(params, ema_params, opt_state, rng, data,
                            ema_decay, len_loss):
             ks = jax.random.split(rng, micro + 1)
             k_aug, keys = ks[0], ks[1:]  # keys stays a key ARRAY (scan input)
-            x = prep(k_aug, data, seg)
+            x = prep(k_aug, data)
 
             def micro_grads(k, xb):
                 k_mask1, k_mask2 = jax.random.split(k)
@@ -400,7 +406,7 @@ class PretrainTrainer:
             new_ema = ema_update(ema_params, new_params, ema_decay)
             return new_params, new_ema, new_opt, loss
 
-        def val_step(params, rng, data, seg):
+        def val_step(params, rng, data):
             x = data.astype(dtype)
             active = model.mask(rng, x.shape[0])
             inp, rec = model.apply({"params": params}, x, active)
@@ -409,7 +415,7 @@ class PretrainTrainer:
         if cfg.method == "spark":
             self._spark_step = jax.jit(
                 spark_step,
-                in_shardings=(repl, repl, repl, bsh, bsh),
+                in_shardings=(repl, repl, repl, bsh),
                 out_shardings=(repl, repl, repl), donate_argnums=(0, 1),
             )
         else:
@@ -417,17 +423,27 @@ class PretrainTrainer:
             # recompiling the step (generate_guided_mask handles traced len_loss)
             self._anatomask_step = jax.jit(
                 anatomask_step,
-                in_shardings=(repl, repl, repl, repl, bsh, bsh, repl, repl),
+                in_shardings=(repl, repl, repl, repl, bsh, repl, repl),
                 out_shardings=(repl, repl, repl, repl),
                 donate_argnums=(0, 1, 2),
             )
-        self._val_step = jax.jit(val_step, in_shardings=(repl, repl, bsh, bsh),
+        self._val_step = jax.jit(val_step, in_shardings=(repl, repl, bsh),
                                  out_shardings=repl)
 
     # --- checkpointing --------------------------------------------------------
-    def save_checkpoint(self, filename: str, extra_meta: Optional[dict] = None):
-        if jax.process_index() != 0:
-            return  # replicated params: host 0 writes for everyone
+    def _snapshot_state(self) -> dict:
+        """ONE host readback of the full training state (~850 MB for STUNet-B:
+        params + EMA + AdamW moments). The tunnel readback dominates checkpoint
+        cost, so epoch saves snapshot once and write latest/head/best from the
+        same arrays."""
+        from anatomask_tpu.training.trainer import optax_state_to_pytree
+        return jax.device_get({
+            "network_weights": self.params,
+            "ema_weights": self.ema_params,
+            "optimizer_state": optax_state_to_pytree(self.opt_state),
+        })
+
+    def _checkpoint_meta(self, extra_meta: Optional[dict] = None) -> dict:
         meta = {
             "method": self.cfg.method,
             "model_size": self.cfg.model_size,
@@ -437,16 +453,44 @@ class PretrainTrainer:
                                 for k, v in self.cfg.__dict__.items()},
         }
         meta.update(extra_meta or {})
-        arrays = {
-            "network_weights": jax.tree_util.tree_map(np.asarray, self.params),
-            "ema_weights": jax.tree_util.tree_map(np.asarray, self.ema_params),
-        }
-        from anatomask_tpu.training.trainer import optax_state_to_pytree
-        arrays["optimizer_state"] = jax.tree_util.tree_map(
-            np.asarray, optax_state_to_pytree(self.opt_state))
-        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename), arrays, meta)
+        return meta
+
+    def _join_ckpt_writer(self):
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+
+    def _write_checkpoints_async(self, jobs):
+        """jobs: [(filename, arrays, meta)] written on a background thread so
+        the npz serialization overlaps the next epoch's device steps (arrays
+        are already host numpy — no device access from the thread). At most
+        one writer is outstanding; a second epoch save joins the first."""
+        import threading
+
+        self._join_ckpt_writer()
+
+        def write():
+            for filename, arrays, meta in jobs:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(self.output_folder, filename), arrays, meta)
+
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        self._ckpt_thread = t
+
+    def save_checkpoint(self, filename: str, extra_meta: Optional[dict] = None,
+                        arrays: Optional[dict] = None):
+        if jax.process_index() != 0:
+            return  # replicated params: host 0 writes for everyone
+        self._join_ckpt_writer()
+        if arrays is None:
+            arrays = self._snapshot_state()
+        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename),
+                                 arrays, self._checkpoint_meta(extra_meta))
 
     def load_checkpoint(self, filename: str):
+        self._join_ckpt_writer()
         path = filename if os.path.isabs(filename) else os.path.join(self.output_folder, filename)
         arrays, meta = ckpt_lib.load_checkpoint(path)
         # verify architecture config matches (reference SparK.load_state_dict :192-204)
@@ -493,22 +537,26 @@ class PretrainTrainer:
                 len_loss = int((L - self.model.len_keep) * keep_ratio)
 
                 losses = []
+                t_fetch = 0.0
                 for _ in range(self.iters_per_epoch):
+                    f0 = time.time()
                     batch = next(train_iter)
+                    t_fetch += time.time() - f0
                     rng, sub = jax.random.split(rng)
                     if cfg.method == "spark":
                         self.params, self.opt_state, loss = self._spark_step(
                             self.params, self.opt_state, sub,
-                            self._to_global(batch["data"]), self._to_global(batch["seg"]))
+                            self._to_global(batch["data"]))
                         self.ema_params = self.params
                     else:
                         self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
                             self.params, self.ema_params, self.opt_state, sub,
-                            self._to_global(batch["data"]), self._to_global(batch["seg"]),
+                            self._to_global(batch["data"]),
                             jnp.float32(ema_decay), jnp.int32(len_loss))
                     self.step_counter += 1
                     losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(losses)))
+                t_train = time.time() - t0
                 if not np.isfinite(train_loss):
                     raise RuntimeError(
                         f"Non-finite pretrain loss at epoch {epoch}: {train_loss}")
@@ -516,31 +564,50 @@ class PretrainTrainer:
                 ema_loss = train_loss if ema_loss is None else 0.9 * ema_loss + 0.1 * train_loss
 
                 # validation loss under a fresh random mask
+                tv0 = time.time()
                 vlosses = []
                 for _ in range(max(1, self.iters_per_epoch // 5)):
                     batch = next(val_iter)
                     rng, sub = jax.random.split(rng)
                     vlosses.append(self._val_step(
-                        self.params, sub, self._to_global(batch["data"]),
-                        self._to_global(batch["seg"])))
+                        self.params, sub, self._to_global(batch["data"])))
                 val_loss = float(np.mean(jax.device_get(vlosses)))
+                t_val = time.time() - tv0
 
                 history["train_loss"].append(train_loss)
                 history["val_loss"].append(val_loss)
                 history["ema_loss"].append(ema_loss)
+
+                # checkpointing: ONE state readback per epoch; the npz writes
+                # (latest + head + best, all from the same snapshot) run on a
+                # background thread overlapping the next epoch's device steps
+                tc0 = time.time()
+                need_latest = (epoch + 1) % cfg.save_every == 0
+                is_best = val_loss < best_val
+                if is_best:
+                    best_val = val_loss
+                if (need_latest or is_best) and jax.process_index() == 0:
+                    snap = self._snapshot_state()
+                    jobs = []
+                    if need_latest:
+                        jobs.append(("checkpoint_latest.npz", snap,
+                                     self._checkpoint_meta()))
+                        jobs.append((f"{cfg.model_size}_head_latest.npz", snap,
+                                     self._checkpoint_meta()))
+                    if is_best:
+                        jobs.append(("checkpoint_best.npz", snap,
+                                     self._checkpoint_meta({"val_loss": val_loss})))
+                    self._write_checkpoints_async(jobs)
+                t_ckpt = time.time() - tc0
+                self._plot_progress(history)
                 self.print_to_log_file(
                     f"epoch {epoch}: train {train_loss:.4f} val {val_loss:.4f} "
                     f"ema {ema_loss:.4f} keep_ratio {keep_ratio:.3f} "
-                    f"time {time.time() - t0:.1f}s")
-
-                if (epoch + 1) % cfg.save_every == 0:
-                    self.save_checkpoint(f"{cfg.model_size}_head_latest.npz")
-                    self.save_checkpoint("checkpoint_latest.npz")
-                if val_loss < best_val:
-                    best_val = val_loss
-                    self.save_checkpoint("checkpoint_best.npz", {"val_loss": val_loss})
-                self._plot_progress(history)
+                    f"time {time.time() - t0:.1f}s "
+                    f"(train {t_train:.1f}s [fetch-wait {t_fetch:.1f}s] "
+                    f"val {t_val:.1f}s ckpt {t_ckpt:.1f}s)")
         finally:
+            self._join_ckpt_writer()
             self.loader_train.stop()
             self.loader_val.stop()
         self.save_checkpoint("checkpoint_final.npz")

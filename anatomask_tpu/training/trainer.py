@@ -220,7 +220,7 @@ def promote_2d_configuration(cfg: dict) -> dict:
 
 
 def pick_mesh_for_batch(batch_size: int, scale_batch_to_devices: bool = False,
-                        log=print) -> Tuple[Mesh, int, int]:
+                        log=print, max_devices: Optional[int] = None) -> Tuple[Mesh, int, int]:
     """Data-parallel Mesh(('data',)) over ALL global devices when possible.
 
     Returns (mesh, n_shards, global_batch_size). If batch_size doesn't divide
@@ -228,8 +228,18 @@ def pick_mesh_for_batch(batch_size: int, scale_batch_to_devices: bool = False,
     to the next multiple of the device count (every device used; logged), else
     the mesh shrinks to the largest divisor (devices idle; warned loudly).
     Replaces the reference's per-rank batch partition
-    (nnUNetTrainer._set_batch_size_and_oversample, :295-340)."""
+    (nnUNetTrainer._set_batch_size_and_oversample, :295-340).
+
+    max_devices (or env ATK_NUM_DEVICES; CLI -num_gpus) caps the mesh to the
+    first N devices — the analog of the reference's -num_gpus
+    (run_training.py:108-142)."""
     devices = jax.devices()
+    if max_devices is None:
+        env_cap = int(os.environ.get("ATK_NUM_DEVICES", "0"))
+        max_devices = env_cap if env_cap > 0 else None
+    if max_devices is not None and max_devices < len(devices):
+        log(f"[mesh] device cap: using {max_devices}/{len(devices)} devices")
+        devices = devices[:max_devices]
     n = len(devices)
     global_batch = batch_size
     if batch_size % n != 0:
@@ -661,12 +671,8 @@ class Trainer:
         return self.loader_train, self.loader_val
 
     # --- checkpointing --------------------------------------------------------
-    def save_checkpoint(self, filename: str):
-        if self.disable_checkpointing:
-            return
-        if jax.process_index() != 0:
-            return  # replicated params: host 0 writes for everyone
-        meta = {
+    def _checkpoint_meta(self) -> dict:
+        return {
             "trainer_name": self.cfg.name,
             "configuration_name": self.configuration_name,
             "current_epoch": self.current_epoch + 1,
@@ -678,14 +684,49 @@ class Trainer:
             "network_arch_name": self.cfg.arch_name,
             "step_counter": self.step_counter,
         }
-        arrays = {
-            "network_weights": jax.tree_util.tree_map(np.asarray, self.params),
-            "optimizer_state": jax.tree_util.tree_map(
-                np.asarray, optax_state_to_pytree(self.opt_state)),
-        }
-        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename), arrays, meta)
+
+    def _snapshot_state(self) -> dict:
+        """ONE host readback of params + optimizer state; epoch-end saves write
+        latest/best from the same snapshot (the readback dominates save cost)."""
+        return jax.device_get({
+            "network_weights": self.params,
+            "optimizer_state": optax_state_to_pytree(self.opt_state),
+        })
+
+    def _join_ckpt_writer(self):
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+
+    def _write_checkpoints_async(self, jobs):
+        """jobs: [(filename, host_arrays, meta)] written on a background thread
+        so npz serialization overlaps the next epoch's device steps. At most
+        one writer outstanding."""
+        import threading
+
+        self._join_ckpt_writer()
+
+        def write():
+            for filename, arrays, meta in jobs:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(self.output_folder, filename), arrays, meta)
+
+        t = threading.Thread(target=write, daemon=True)
+        t.start()
+        self._ckpt_thread = t
+
+    def save_checkpoint(self, filename: str):
+        if self.disable_checkpointing:
+            return
+        if jax.process_index() != 0:
+            return  # replicated params: host 0 writes for everyone
+        self._join_ckpt_writer()
+        ckpt_lib.save_checkpoint(os.path.join(self.output_folder, filename),
+                                 self._snapshot_state(), self._checkpoint_meta())
 
     def load_checkpoint(self, filename_or_path: str):
+        self._join_ckpt_writer()
         path = filename_or_path if os.path.isabs(filename_or_path) else os.path.join(
             self.output_folder, filename_or_path)
         arrays, meta = ckpt_lib.load_checkpoint(path)
@@ -799,6 +840,7 @@ class Trainer:
                     self.logger.log("mean_fg_dice", mean_fg_dice, epoch)
                 self.on_epoch_end(epoch)
         finally:
+            self._join_ckpt_writer()
             self.loader_train.stop()
             self.loader_val.stop()
 
@@ -827,13 +869,23 @@ class Trainer:
         msg += f" time {dur:.2f}s"
         self.print_to_log_file(msg)
 
-        if (epoch + 1) % self.cfg.save_every == 0 and epoch != self.cfg.num_epochs - 1:
-            self.save_checkpoint("checkpoint_latest.npz")
+        need_latest = (epoch + 1) % self.cfg.save_every == 0 and epoch != self.cfg.num_epochs - 1
         ema = lg["ema_fg_dice"][epoch] if lg["ema_fg_dice"] and len(lg["ema_fg_dice"]) > epoch else None
-        if ema is not None and (self._best_ema is None or ema > self._best_ema):
+        is_best = ema is not None and (self._best_ema is None or ema > self._best_ema)
+        if is_best:
             self._best_ema = ema
             self.print_to_log_file(f"new best EMA pseudo Dice: {ema:.4f}")
-            self.save_checkpoint("checkpoint_best.npz")
+        if ((need_latest or is_best) and not self.disable_checkpointing
+                and jax.process_index() == 0):
+            # one readback, both files, written off-thread
+            snap = self._snapshot_state()
+            meta = self._checkpoint_meta()
+            jobs = []
+            if need_latest:
+                jobs.append(("checkpoint_latest.npz", snap, meta))
+            if is_best:
+                jobs.append(("checkpoint_best.npz", snap, meta))
+            self._write_checkpoints_async(jobs)
         try:
             self.logger.plot_progress_png(self.output_folder)
         except Exception:

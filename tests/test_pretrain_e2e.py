@@ -177,6 +177,7 @@ def test_cli_pretrain_full_stunet_head(tmp_path):
 def test_anatomask_pretraining_with_grad_accum(prepared):
     """grad_accum_steps > 1 path (lax.scan accumulation) runs end-to-end.
     batch 16 on the 8-device mesh -> 2 microbatches of 8."""
+    setup_env(prepared)  # re-point env: test_cli_* above moved it to its own tmp
     from dataclasses import replace
     from anatomask_tpu.ssl.pretrain import PretrainTrainer
     cfg = replace(_tiny_cfg("anatomask"), batch_size=16, grad_accum_steps=2,

@@ -25,6 +25,25 @@ def test_pick_mesh_spans_all_devices_with_scaling():
     assert 2 % shards == 0  # divisor fallback
 
 
+def test_pick_mesh_device_cap():
+    """-num_gpus analog: cap the mesh to the first N devices."""
+    from anatomask_tpu.training.trainer import pick_mesh_for_batch
+    n = len(jax.devices())
+    if n < 2:
+        pytest.skip("needs >=2 devices")
+    mesh, shards, gbs = pick_mesh_for_batch(
+        4, scale_batch_to_devices=True, log=lambda *a: None, max_devices=2)
+    assert shards == 2 and gbs == 4
+    import os
+    os.environ["ATK_NUM_DEVICES"] = "2"
+    try:
+        mesh, shards, gbs = pick_mesh_for_batch(
+            4, scale_batch_to_devices=True, log=lambda *a: None)
+        assert shards == 2
+    finally:
+        del os.environ["ATK_NUM_DEVICES"]
+
+
 def test_pick_mesh_exact_fit():
     from anatomask_tpu.training.trainer import pick_mesh_for_batch
     n = len(jax.devices())
