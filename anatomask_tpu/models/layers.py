@@ -42,7 +42,8 @@ class _ConvInner(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from anatomask_tpu.ops.conv_lowering import conv3d_z2d, use_z2d
+        from anatomask_tpu.ops.conv_lowering import (
+            conv3d_z2d, conv3d_zconcat, pick_lowering)
         ks = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
@@ -55,7 +56,10 @@ class _ConvInner(nn.Module):
             (x.shape[1 + i] + sum(self.padding[i]) - ks[i]) // self.strides[i] + 1
             for i in range(len(ks))
         ]
-        if len(ks) == 3 and use_z2d(ks, out_spatial):
+        lowering = pick_lowering(ks, self.strides, self.padding, out_spatial)
+        if lowering == "zconcat":
+            y = conv3d_zconcat(x, kernel, self.strides, self.padding)
+        elif lowering == "z2d":
             y = conv3d_z2d(x, kernel, self.strides, self.padding)
         else:
             nd = len(ks)

@@ -8,10 +8,17 @@ shapes on TPU v5e (probes/probe_conv_variants.py: enc0 fwd 15.1 ms vs 30.7,
 dec3 bwd 24.2 ms vs 53.9; the 2D conv emitter tiles the MXU far better for
 large-spatial/small-channel shapes).
 
-The lowering is selected per conv at trace time: z2d when the kernel has a
+The z-concat refinement (conv3d_zconcat) goes further for stride-1-in-z convs:
+ONE 2D conv whose output channels stack all kz z-taps, with the taps combined
+by output row shifts + validity masks — 3x the MXU N-width at small channel
+counts and a single conv operand (measured 1.14-1.38x over z2d at the hot
+shapes; probes/probe_folded_stage.py).
+
+The lowering is selected per conv at trace time: zconcat when z is stride-1
+with torch-style padding, z2d otherwise, both only when the kernel has a
 spatial extent > 1 voxel beyond the z axis and the output volume is large
 enough that emitter efficiency (not dispatch overhead) dominates. Set
-ATK_CONV_LOWERING=lax to force the native XLA path.
+ATK_CONV_LOWERING to z2d or lax to force the older paths.
 """
 from __future__ import annotations
 
@@ -26,8 +33,27 @@ import jax.numpy as jnp
 _MIN_VOLUME = 32768
 
 
+def pick_lowering(kernel_size: Sequence[int], strides: Sequence[int],
+                  padding, out_spatial: Sequence[int]) -> str:
+    """Returns "zconcat", "z2d" or "lax" for this conv."""
+    mode = os.environ.get("ATK_CONV_LOWERING", "zconcat")
+    if mode == "lax" or len(kernel_size) != 3:
+        return "lax"
+    ky, kx = kernel_size[1], kernel_size[2]
+    if ky == 1 and kx == 1:
+        return "lax"  # pure 1x1(x1) convs are matmuls already
+    vol = 1
+    for s in out_spatial:
+        vol *= int(s)
+    if vol < _MIN_VOLUME:
+        return "lax"
+    if mode != "z2d" and use_zconcat(kernel_size, strides, padding, None):
+        return "zconcat"
+    return "z2d"
+
+
 def use_z2d(kernel_size: Sequence[int], out_spatial: Sequence[int]) -> bool:
-    if os.environ.get("ATK_CONV_LOWERING", "z2d") != "z2d":
+    if os.environ.get("ATK_CONV_LOWERING", "z2d") not in ("z2d", "zconcat"):
         return False
     if len(kernel_size) != 3:
         return False
@@ -38,6 +64,55 @@ def use_z2d(kernel_size: Sequence[int], out_spatial: Sequence[int]) -> bool:
     for s in out_spatial:
         vol *= int(s)
     return vol >= _MIN_VOLUME
+
+
+def use_zconcat(kernel_size, strides, padding, in_spatial) -> bool:
+    """The single-conv z-concat lowering applies when z is stride-1 and the
+    z-padding keeps out_z == D (torch-style k//2 padding does)."""
+    if len(kernel_size) != 3:
+        return False
+    kz = kernel_size[0]
+    (pz0, pz1) = padding[0]
+    return strides[0] == 1 and pz0 + pz1 == kz - 1
+
+
+def conv3d_zconcat(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    padding: Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]],
+) -> jnp.ndarray:
+    """Single-2D-conv z lowering for stride-1-in-z convs: fold z into the
+    batch, run ONE 2D conv whose output channels stack all kz z-taps (kz*F —
+    3x the MXU N-width of z2d at small channel counts, and one conv operand
+    instead of kz z-shifted slices), then combine the taps with output row
+    shifts + sample-boundary validity masks. conv2d commutes with batch-row
+    shifts, so this is the same re-association of the same sums as
+    conv3d_z2d (bf16 partial adds in the same order). Measured on v5e
+    (probes/probe_folded_stage.py): 1.14-1.23x z2d fwd and 1.27-1.38x
+    fwd+bwd at the hot dec3/enc0 shapes."""
+    B, D, H, W, C = x.shape
+    kz = kernel.shape[0]
+    _, sy, sx = strides
+    (pz0, pz1), py, px = padding
+    F = kernel.shape[4]
+    # (ky, kx, C, kz*F), tap-major blocks of F output channels
+    w_all = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=-1)
+    xf = x.reshape(B * D, H, W, C)
+    y = jax.lax.conv_general_dilated(
+        xf, w_all, (sy, sx), (py, px),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zidx = jnp.arange(B * D) % D
+    out = None
+    for dz in range(kz):
+        yb = y[:, :, :, dz * F:(dz + 1) * F]
+        shift = dz - pz0  # out[b, z] takes tap dz from input row z + shift
+        if shift:
+            valid = ((zidx + shift) >= 0) & ((zidx + shift) < D)
+            yb = jnp.where(valid[:, None, None, None],
+                           jnp.roll(yb, -shift, axis=0), 0)
+        out = yb if out is None else out + yb
+    return out.reshape(B, D, *out.shape[1:])
 
 
 def conv3d_z2d(

@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from anatomask_tpu.ops import conv_lowering
-from anatomask_tpu.ops.conv_lowering import conv3d_z2d, use_z2d
+from anatomask_tpu.ops.conv_lowering import (
+    conv3d_z2d, conv3d_zconcat, pick_lowering, use_z2d)
 
 
 @pytest.fixture
@@ -48,6 +49,47 @@ def test_z2d_grads_match_lax(rng):
                   argnums=(0, 1))(x, w)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("ks,strides", [
+    ((3, 3, 3), (1, 1, 1)),
+    ((3, 3, 3), (1, 2, 2)),   # z stride-1, spatial strided
+    ((1, 3, 3), (1, 1, 1)),   # kz == 1
+    ((3, 1, 3), (1, 1, 1)),
+    ((5, 3, 3), (1, 1, 1)),   # kz == 5
+])
+def test_zconcat_matches_lax(rng, ks, strides):
+    x = jnp.asarray(rng.randn(2, 9, 10, 11, 5), jnp.float32)
+    w = jnp.asarray(rng.randn(*ks, 5, 6), jnp.float32) * 0.1
+    padding = tuple((k // 2, k // 2) for k in ks)
+    got = conv3d_zconcat(x, w, strides, padding)
+    expect = _lax_conv(x, w, strides, padding)
+    assert got.shape == expect.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_zconcat_grads_match_lax(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 8, 4), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 3, 4, 4), jnp.float32) * 0.1
+    padding = ((1, 1), (1, 1), (1, 1))
+    g1 = jax.grad(lambda x, w: conv3d_zconcat(x, w, (1, 1, 1), padding).sum(),
+                  argnums=(0, 1))(x, w)
+    g2 = jax.grad(lambda x, w: _lax_conv(x, w, (1, 1, 1), padding).sum(),
+                  argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_pick_lowering():
+    big = (112, 112, 128)
+    pad3 = ((1, 1), (1, 1), (1, 1))
+    assert pick_lowering((3, 3, 3), (1, 1, 1), pad3, big) == "zconcat"
+    # strided z -> z2d
+    assert pick_lowering((3, 3, 3), (2, 2, 2), pad3, big) == "z2d"
+    # small volume / pure matmul -> lax
+    assert pick_lowering((3, 3, 3), (1, 1, 1), pad3, (8, 8, 8)) == "lax"
+    assert pick_lowering((1, 1, 1), (1, 1, 1), pad3, big) == "lax"
 
 
 def test_use_z2d_gates():
