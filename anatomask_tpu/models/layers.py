@@ -132,6 +132,43 @@ class InstanceNorm(nn.Module):
         return (x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype))
 
 
+class SubpixelConvTranspose(nn.Module):
+    """ConvTranspose with kernel_size == strides ('VALID'), parameter-tree
+    identical to flax nn.ConvTranspose (kernel/bias at this module's name).
+    Lowered as a matmul + pixel shuffle (ops/subpixel.py): each output voxel
+    depends on exactly one input voxel, so XLA's lhs-dilated lowering wastes
+    (s^3-1)/s^3 of its MACs on zeros — measured 5.9x faster at the nnU-Net
+    decoder's full-resolution stage. ATK_CONVT_LOWERING=native restores the
+    lhs-dilated path."""
+    features: int
+    strides: Sequence[int]
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = he_normal_leaky()
+
+    @nn.compact
+    def __call__(self, x):
+        import os as _os
+        s = tuple(int(v) for v in self.strides)
+        kernel = self.param("kernel", self.kernel_init,
+                            (*s, x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        if _os.environ.get("ATK_CONVT_LOWERING", "subpixel") == "subpixel":
+            from anatomask_tpu.ops.subpixel import conv_transpose_k_eq_s
+            y = conv_transpose_k_eq_s(x, k, s)
+        else:
+            y = jax.lax.conv_transpose(
+                x, k, s, "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def leaky_relu(x, negative_slope: float = 0.01):
     return nn.leaky_relu(x, negative_slope=negative_slope)
 

@@ -14,7 +14,9 @@ from typing import Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from anatomask_tpu.models.layers import BatchNorm, ConvND, InstanceNorm, he_normal_leaky, leaky_relu
+from anatomask_tpu.models.layers import (
+    BatchNorm, ConvND, InstanceNorm, SubpixelConvTranspose, he_normal_leaky,
+    leaky_relu)
 
 
 class ConvNormAct(nn.Module):
@@ -83,9 +85,9 @@ class PlainConvUNet(nn.Module):
             tgt = self.n_stages - 2 - d  # skip level we upsample into
             f = self.features_per_stage[tgt]
             stride = tuple(self.strides[tgt + 1])
-            x = nn.ConvTranspose(
-                features=f, kernel_size=stride, strides=stride, padding="VALID",
-                kernel_init=he_normal_leaky(), name=f"decoder_transp_{d}", **dd,
+            x = SubpixelConvTranspose(
+                features=f, strides=stride, kernel_init=he_normal_leaky(),
+                name=f"decoder_transp_{d}", **dd,
             )(x)
             x = jnp.concatenate([x, skips[tgt]], axis=-1)
             x = Stage(f, self.n_conv_per_stage_decoder[d], self.kernel_sizes[tgt],
@@ -142,9 +144,9 @@ class ResidualEncoderUNet(nn.Module):
             tgt = self.n_stages - 2 - d
             f = self.features_per_stage[tgt]
             stride = tuple(self.strides[tgt + 1])
-            x = nn.ConvTranspose(
-                features=f, kernel_size=stride, strides=stride, padding="VALID",
-                kernel_init=he_normal_leaky(), name=f"decoder_transp_{d}", **dd,
+            x = SubpixelConvTranspose(
+                features=f, strides=stride, kernel_init=he_normal_leaky(),
+                name=f"decoder_transp_{d}", **dd,
             )(x)
             x = jnp.concatenate([x, skips[tgt]], axis=-1)
             x = Stage(f, self.n_conv_per_stage_decoder[d], self.kernel_sizes[tgt],

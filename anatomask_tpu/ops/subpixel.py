@@ -1,0 +1,88 @@
+"""Sub-pixel (pixel-shuffle) lowerings for transposed convolutions.
+
+XLA lowers ConvTranspose via an lhs-dilated convolution: the input is
+zero-interleaved to the OUTPUT resolution and convolved with the full kernel,
+so ~(s^3-1)/s^3 of the MACs multiply zeros (measured ~3.5 TFLOP/s useful on
+the k4s2 decoder stages, PLAN.md). The equivalent sub-pixel form computes one
+small dense conv at the INPUT resolution whose output channels stack all s^3
+output phases, then interleaves phases (depth-to-space) — no wasted MACs and
+s^3 x the MXU N-width.
+
+Two cases used by this framework:
+- kernel == stride (nnU-Net decoder upsampling, e.g. k2s2): each output voxel
+  depends on exactly ONE input voxel, so the conv degenerates to a 1x1 conv
+  (a matmul) with s1*s2*s3*F output channels + shuffle.
+- k=4, s=2, torch padding 1 (SparK/AnatoMask UNetBlock upsampling,
+  decoder3D.py:13): each output phase is a 2x2x2-tap conv over the input with
+  a fixed weight subset; one padded k2 conv with 8F channels + offset slices
+  + shuffle.
+
+Both are EXACT re-expressions (same sums, same order per output element).
+Weight layouts match flax nn.ConvTranspose ((k..., Cin, F), no flip), so the
+parameter trees of the wrapping modules are unchanged.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _shuffle(phases: jnp.ndarray, s: Tuple[int, int, int]) -> jnp.ndarray:
+    """phases (B, D, H, W, s1*s2*s3*F) phase-major -> (B, D*s1, H*s2, W*s3, F)."""
+    B, D, H, W, _ = phases.shape
+    s1, s2, s3 = s
+    F = phases.shape[-1] // (s1 * s2 * s3)
+    y = phases.reshape(B, D, H, W, s1, s2, s3, F)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(B, D * s1, H * s2, W * s3, F)
+
+
+def conv_transpose_k_eq_s(x: jnp.ndarray, w: jnp.ndarray,
+                          strides: Sequence[int]) -> jnp.ndarray:
+    """ConvTranspose with kernel_size == strides (flax 'VALID'):
+    out[s*m + r] = x[m] @ w[r]. x (B,D,H,W,C), w (s1,s2,s3,C,F)."""
+    s1, s2, s3 = (int(v) for v in strides)
+    C, F = w.shape[3], w.shape[4]
+    # flax conv_transpose applies the kernel mirrored: out[s*m + r] uses
+    # K[s-1-r], so flip before the phase-major reshape
+    w = jnp.flip(w, (0, 1, 2))
+    # (C, P*F), P phase-major: w1[c, p*F + f] = K[s1-1-r1, s2-1-r2, s3-1-r3, c, f]
+    w1 = w.reshape(s1 * s2 * s3, C, F).transpose(1, 0, 2).reshape(C, -1)
+    phases = jnp.einsum("bdhwc,cf->bdhwf", x, w1.astype(x.dtype))
+    return _shuffle(phases, (s1, s2, s3))
+
+
+def conv_transpose_4_2_1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(k=4, s=2) with the torch p=1 crop (out = 2*in). With
+    flax's mirrored-kernel convention, out[2m + r] per dim = x[m-1+r]*K[r] +
+    x[m+r]*K[2+r]. One once-padded k2 conv with 8F channels; phase (r1,r2,r3)
+    reads the conv output at offset (r1,r2,r3).
+    x (B,D,H,W,C), w (4,4,4,C,F) in flax ConvTranspose layout."""
+    B, D, H, W, C = x.shape
+    F = w.shape[4]
+    # w2[u,v,t,:, p*F:(p+1)*F] = w[2u+r1, 2v+r2, 2t+r3]
+    blocks = []
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            for r3 in (0, 1):
+                blocks.append(w[(2 * jnp.arange(2) + r1)[:, None, None],
+                                (2 * jnp.arange(2) + r2)[None, :, None],
+                                (2 * jnp.arange(2) + r3)[None, None, :]])
+    w2 = jnp.concatenate(blocks, axis=-1).astype(x.dtype)  # (2,2,2,C,8F)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    c = jax.lax.conv_general_dilated(
+        xp, w2, (1, 1, 1), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # (B, D+1, H+1, W+1, 8F)
+    parts = []
+    p = 0
+    for r1 in (0, 1):
+        for r2 in (0, 1):
+            for r3 in (0, 1):
+                parts.append(jax.lax.slice(
+                    c, (0, r1, r2, r3, p * F),
+                    (B, r1 + D, r2 + H, r3 + W, (p + 1) * F)))
+                p += 1
+    phases = jnp.concatenate(parts, axis=-1)  # (B,D,H,W,8F) phase-major
+    return _shuffle(phases, (2, 2, 2))

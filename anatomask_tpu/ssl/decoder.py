@@ -52,21 +52,50 @@ def _make_norm(kind: str, name: str, dtype, param_dtype):
     return _BatchNorm(name=name, dtype=dtype, param_dtype=param_dtype)
 
 
+class _ConvTParams(nn.Module):
+    """Parameter holder with nn.ConvTranspose's exact tree (kernel/bias)."""
+    features: int
+    kernel_size: tuple
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, cin):
+        k = self.param("kernel", _trunc_normal_init(),
+                       (*self.kernel_size, cin, self.features), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
+        return k, b
+
+
 class ConvTranspose2x(nn.Module):
     """ConvTranspose(k=4, s=2, p=1) with exact torch semantics: out = 2*in.
-    (torch crops 1 from each side of the full-output transpose.)"""
+    (torch crops 1 from each side of the full-output transpose.)
+
+    The sub-pixel lowering (ops/subpixel.py) wins 1.4-1.5x in ISOLATION at the
+    full-resolution stage (probes/probe_subpixel.py) but loses 2.7% inside the
+    fused pretraining step (bench.py 5.753 -> 5.599: the shuffle transpose
+    breaks XLA's fusion chains), so the default stays on XLA's lhs-dilated
+    path; ATK_CONVT421_LOWERING=subpixel opts in. Parameter tree is identical
+    either way."""
     features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        y = nn.ConvTranspose(
-            features=self.features, kernel_size=(4, 4, 4), strides=(2, 2, 2),
-            padding="VALID", dtype=self.dtype,
-            param_dtype=self.param_dtype, kernel_init=_trunc_normal_init(),
-            name="conv",
-        )(x)
+        import os as _os
+        from anatomask_tpu.ops.conv_lowering import _MIN_VOLUME
+        out_vol = 8 * x.shape[1] * x.shape[2] * x.shape[3]
+        k, b = _ConvTParams(self.features, (4, 4, 4), self.param_dtype,
+                            name="conv")(x.shape[-1])
+        if (_os.environ.get("ATK_CONVT421_LOWERING", "native") == "subpixel"
+                and out_vol >= _MIN_VOLUME):
+            from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1
+            y = conv_transpose_4_2_1(x.astype(self.dtype), k.astype(self.dtype))
+            return y + b.astype(self.dtype)
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), k.astype(self.dtype), (2, 2, 2), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b.astype(self.dtype)
         # full transpose output is 2*in + 2; torch's padding=1 crops one voxel
         # from each side -> out = 2*in
         return y[:, 1:-1, 1:-1, 1:-1, :]

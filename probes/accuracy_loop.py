@@ -142,11 +142,17 @@ def main():
         },
     }
     print(json.dumps(report), flush=True)
-    report["finetune"] = finetune(ckpt)
-    with open(os.path.join(os.path.dirname(__file__), "accuracy_loop_result.json"), "w") as f:
+    if os.environ.get("ACC_SKIP_FT", "0") != "1":
+        report["finetune"] = finetune(ckpt)
+    # timing-only reruns (ACC_SKIP_FT=1) must not clobber the full
+    # pretrain+finetune evidence file
+    out_name = ("accuracy_loop_result.json" if "finetune" in report
+                else "accuracy_pretrain_timing.json")
+    with open(os.path.join(os.path.dirname(__file__), out_name), "w") as f:
         json.dump(report, f, indent=1)
     print("DONE", flush=True)
-    print(json.dumps(report["finetune"], indent=1))
+    if "finetune" in report:
+        print(json.dumps(report["finetune"], indent=1))
 
 
 if __name__ == "__main__":
