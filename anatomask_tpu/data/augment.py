@@ -50,6 +50,13 @@ class SpatialAugmentConfig:
     elastic_magnitude: Tuple[float, float] = (0.0, 0.2)  # fraction of patch size
     elastic_grid: int = 4                       # coarse control-point grid
     data_interpolation_order0: bool = False     # DAOrd0 variant: nearest for data
+    # data warp order when the order0 flag is off: 1 = trilinear (default),
+    # 3 = cubic B-spline (the reference's SpatialTransform order_data=3,
+    # nnUNetTrainer.py:689; exact vs scipy, tests/test_augment.py). Order 3
+    # measures ~4 s/batch extra on v5e at the pretraining patch size — the
+    # 4^3-tap sampling is gather-bound — so the TPU default stays trilinear;
+    # the reference pays its cubic cost on CPU worker processes instead.
+    data_interpolation_order: int = 1
 
 
 @dataclass(frozen=True)
@@ -196,6 +203,77 @@ def _trilinear_sample(vol, pos, cval):
                                              order=1, mode="constant", cval=cval)
 
 
+# cubic B-spline prefilter pole (sqrt(3) - 2); the direct IIR filter
+# 6/(z + 4 + 1/z) is approximated by its truncated symmetric impulse
+# response -6p/(1-p^2) * p^|n| (|p|^12 ~ 1e-7), DC-normalized — three
+# separable FIR convolutions, TPU-friendly unlike the recursive form
+_SPLINE_POLE = -0.26794919243112270647
+
+
+def _spline_prefilter(vol):
+    import numpy as _np
+    R = 12
+    n = _np.arange(-R, R + 1)
+    h = (-6.0 * _SPLINE_POLE / (1.0 - _SPLINE_POLE ** 2)) * (
+        _SPLINE_POLE ** _np.abs(n))
+    h = h / h.sum()
+    k = jnp.asarray(h, vol.dtype)
+    for ax in range(3):
+        moved = jnp.moveaxis(vol, ax, -1)
+        padded = jnp.pad(moved, [(0, 0), (0, 0), (R, R)], mode="reflect")
+        f = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, k, mode="valid")))(padded)
+        vol = jnp.moveaxis(f, -1, ax)
+    return vol
+
+
+def _cubic_sample(vol, pos, cval):
+    """Order-3 B-spline sampling of (X, Y, Z) at pos (3, ...) — the on-device
+    analog of scipy map_coordinates(order=3, mode='constant') used by the
+    reference's SpatialTransform (nnUNetTrainer.py:689 order_data=3).
+    Prefilters, then ONE fused 4x4x4-neighborhood gather + weighted reduction
+    (64 separate per-tap gathers compile to a graph that kernel-faults this
+    toolchain's TPU runtime under batch vmap; the single flattened take does
+    not, and gathers better)."""
+    vol = _spline_prefilter(vol.astype(jnp.float32))
+    X, Y, Z = vol.shape
+    f0 = jnp.floor(pos)
+    t = pos - f0
+    base = f0.astype(jnp.int32) - 1  # (3, ...)
+    offs = jnp.arange(4, dtype=jnp.int32)
+
+    def taps(b, n):
+        idx = b[..., None] + offs          # (..., 4)
+        ok = (idx >= 0) & (idx < n)
+        return jnp.clip(idx, 0, n - 1), ok
+
+    def wts(f):
+        f2 = f * f
+        f3 = f2 * f
+        return jnp.stack([(1 - f) ** 3 / 6.0, (3 * f3 - 6 * f2 + 4) / 6.0,
+                          (-3 * f3 + 3 * f2 + 3 * f + 1) / 6.0, f3 / 6.0],
+                         axis=-1)           # (..., 4)
+
+    xi, okx = taps(base[0], X)
+    yj, oky = taps(base[1], Y)
+    zk, okz = taps(base[2], Z)
+    # tap dims must be LEADING: trailing (...,4,4,4) dims get tiled to
+    # Mosaic's (4,128) layout and the index tensor balloons 32x (observed
+    # 52 GB allocation at the pretraining shapes)
+    lead = lambda a: jnp.moveaxis(a, -1, 0)  # (4, ...)
+    xi, okx, wx = lead(xi), lead(okx), lead(wts(t[0]))
+    yj, oky, wy = lead(yj), lead(oky), lead(wts(t[1]))
+    zk, okz, wz = lead(zk), lead(okz), lead(wts(t[2]))
+    flat = vol.ravel()
+    acc = jnp.zeros(pos.shape[1:], jnp.float32)
+    for i in range(4):  # x taps chunked: peak extra memory is (16, out) arrays
+        idx16 = (xi[i][None, None] * Y + yj[:, None]) * Z + zk[None, :]
+        ok16 = okx[i][None, None] & oky[:, None] & okz[None, :]
+        vals = jnp.where(ok16, jnp.take(flat, idx16, axis=0), cval)
+        w16 = wy[:, None] * wz[None, :]
+        acc = acc + wx[i] * (vals * w16).sum((0, 1))
+    return acc
+
+
 def _nearest_sample(vol, pos, cval):
     idx = [jnp.round(p) for p in pos]
     return jax.scipy.ndimage.map_coordinates(vol, idx, order=0, mode="constant", cval=cval)
@@ -230,7 +308,12 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
         disp = jnp.where(apply_el, field * mag, 0.0) * scale_vox
         disp = jnp.moveaxis(disp, -1, 1)  # (B, 3, ox, oy, oz)
 
-    data_sample = _nearest_sample if cfg.data_interpolation_order0 else _trilinear_sample
+    if cfg.data_interpolation_order0:
+        data_sample = _nearest_sample
+    elif int(cfg.data_interpolation_order) == 3:
+        data_sample = _cubic_sample
+    else:
+        data_sample = _trilinear_sample
 
     def warp_one(A_i, data_i, seg_i, disp_i):
         pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]

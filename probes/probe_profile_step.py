@@ -31,7 +31,7 @@ def main():
     BATCH, PATCH, MICRO = 4, (112, 112, 128), 2
     cfg = PretrainConfig(method="anatomask", model_size="B", patch_size=PATCH,
                          batch_size=BATCH, mask_ratio=0.6,
-                         compute_dtype="bfloat16", remat=True)
+                         compute_dtype="bfloat16", remat=False)
     model = build_spark_model(cfg, in_channels=1)
     rng = jax.random.PRNGKey(0)
     x0 = jnp.zeros((1, *PATCH, 1), jnp.bfloat16)
@@ -58,13 +58,18 @@ def main():
         return jax.value_and_grad(loss_fn)(params)
 
     def train_step(params, ema_params, opt_state, rng, x):
+        # mirror bench.py's shipped config: lax.scan-sequenced microbatches
         keys = jax.random.split(rng, MICRO)
-        grads, losses = None, []
-        for i in range(MICRO):
-            xb = x[i * (BATCH // MICRO):(i + 1) * (BATCH // MICRO)]
-            loss_i, g_i = micro_grads(params, ema_params, keys[i], xb)
-            grads = g_i if grads is None else jax.tree_util.tree_map(jnp.add, grads, g_i)
-            losses.append(loss_i)
+        xs = x.reshape(MICRO, BATCH // MICRO, *x.shape[1:])
+
+        def body(acc, inp):
+            k_i, xb = inp
+            loss_i, g_i = micro_grads(params, ema_params, k_i, xb)
+            return jax.tree_util.tree_map(jnp.add, acc, g_i), loss_i
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        grads, losses = jax.lax.scan(body, zeros, (keys, xs))
+        losses = list(losses)
         grads = jax.tree_util.tree_map(lambda g: g / MICRO, grads)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

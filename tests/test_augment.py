@@ -56,11 +56,37 @@ def test_spatial_identity_is_center_crop(rng):
 def test_spatial_rotation_changes_but_preserves_range(rng):
     data = rng.rand(1, 16, 16, 16, 1).astype(np.float32)
     seg = rng.randint(0, 4, (1, 16, 16, 16, 1)).astype(np.int16)
-    cfg = SpatialAugmentConfig(patch_size=(8, 8, 8), p_rotation=1.0, p_scaling=1.0)
+    cfg = SpatialAugmentConfig(patch_size=(8, 8, 8), p_rotation=1.0, p_scaling=1.0,
+                               data_interpolation_order=1)
     d, s = spatial_augment(jnp.array(data), jnp.array(seg), jax.random.PRNGKey(42), cfg)
     assert d.shape == (1, 8, 8, 8, 1)
     assert float(d.min()) >= -1e-5 and float(d.max()) <= 1.0 + 1e-5  # interp stays in hull
     assert set(np.unique(np.asarray(s))) <= {-1, 0, 1, 2, 3}  # nearest keeps labels
+
+
+def test_cubic_sample_matches_scipy_order3(rng):
+    """Default data warp order is 3 (reference SpatialTransform order_data=3):
+    the on-device cubic B-spline sampler matches scipy map_coordinates(order=3)
+    away from the boundary (the FIR prefilter truncation is ~1e-7; boundary
+    handling differs in the reflected prefilter region)."""
+    from scipy.ndimage import map_coordinates
+    from anatomask_tpu.data.augment import _cubic_sample
+    vol = rng.rand(20, 19, 18).astype(np.float32)
+    pts = rng.uniform(5, 12, size=(3, 7, 7, 7)).astype(np.float32)
+    got = np.asarray(_cubic_sample(jnp.array(vol), jnp.array(pts), 0.0))
+    expect = map_coordinates(vol, pts.reshape(3, -1), order=3,
+                             mode="constant", cval=0.0).reshape(7, 7, 7)
+    np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
+
+
+def test_cubic_identity_at_integer_coords(rng):
+    from anatomask_tpu.data.augment import _cubic_sample
+    vol = rng.rand(16, 16, 16).astype(np.float32)
+    ii, jj, kk = np.meshgrid(np.arange(4, 12), np.arange(4, 12),
+                             np.arange(4, 12), indexing="ij")
+    pts = np.stack([ii, jj, kk]).astype(np.float32)
+    got = np.asarray(_cubic_sample(jnp.array(vol), jnp.array(pts), 0.0))
+    np.testing.assert_allclose(got, vol[4:12, 4:12, 4:12], rtol=1e-4, atol=1e-4)
 
 
 def test_noise_changes_data(rng):
@@ -159,7 +185,8 @@ def test_val_pipeline(rng):
 
 def test_elastic_deformation(rng):
     cfg = SpatialAugmentConfig(patch_size=(8, 8, 8), p_rotation=0.0, p_scaling=0.0,
-                               p_elastic=1.0, elastic_magnitude=(0.1, 0.1))
+                               p_elastic=1.0, elastic_magnitude=(0.1, 0.1),
+                               data_interpolation_order=1)  # hull check needs linear
     data = rng.rand(1, 12, 12, 12, 1).astype(np.float32)
     seg = rng.randint(0, 3, (1, 12, 12, 12, 1)).astype(np.int16)
     d, s = spatial_augment(jnp.array(data), jnp.array(seg), jax.random.PRNGKey(0), cfg)
