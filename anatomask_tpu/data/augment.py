@@ -57,6 +57,11 @@ class SpatialAugmentConfig:
     # 4^3-tap sampling is gather-bound — so the TPU default stays trilinear;
     # the reference pays its cubic cost on CPU worker processes instead.
     data_interpolation_order: int = 1
+    # seg warp: the reference's order_seg=1 (nnUNetTrainer.py:690) means
+    # PER-LABEL linear interpolation of each label's indicator with a 0.5
+    # threshold, later labels overwriting (batchgenerators interpolate_img
+    # is_seg path). Needs the static label set; None falls back to nearest.
+    seg_labels: Optional[Tuple[int, ...]] = None
 
 
 @dataclass(frozen=True)
@@ -279,6 +284,19 @@ def _nearest_sample(vol, pos, cval):
     return jax.scipy.ndimage.map_coordinates(vol, idx, order=0, mode="constant", cval=cval)
 
 
+def _seg_per_label_sample(vol, pos, labels):
+    """The reference's order_seg=1 semantics (batchgenerators interpolate_img
+    is_seg path, via nnUNetTrainer.py:690): linear-warp each label's indicator
+    volume, assign the label where the warped indicator >= 0.5, later labels
+    overwriting earlier ones; voxels no indicator claims stay 0."""
+    out = jnp.zeros(pos.shape[1:], jnp.float32)
+    for cl in sorted(labels):
+        ind = (vol == float(cl)).astype(jnp.float32)
+        r = _trilinear_sample(ind, pos, 0.0)
+        out = jnp.where(r >= 0.5, float(cl), out)
+    return out
+
+
 def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
     """data (B, ix, iy, iz, C) float, seg (B, ix, iy, iz, S) int.
     Returns final-patch-size warped (data', seg'); crop is folded into the warp."""
@@ -315,6 +333,11 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
     else:
         data_sample = _trilinear_sample
 
+    def seg_sample(c, pos):
+        if not cfg.seg_labels:
+            return _nearest_sample(c, pos, -1.0)
+        return _seg_per_label_sample(c, pos, cfg.seg_labels)
+
     def warp_one(A_i, data_i, seg_i, disp_i):
         pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]
         if disp_i is not None:
@@ -323,7 +346,7 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
             data_i.astype(jnp.float32))
         if seg_i is None:
             return d, 0.0
-        s = jax.vmap(lambda c: _nearest_sample(c, pos, -1.0), in_axes=-1, out_axes=-1)(
+        s = jax.vmap(lambda c: seg_sample(c, pos), in_axes=-1, out_axes=-1)(
             seg_i.astype(jnp.float32))
         return d, s
 

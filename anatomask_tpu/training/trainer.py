@@ -431,6 +431,11 @@ class Trainer:
         mask_channels = tuple(
             i for i, m in enumerate(cm.use_mask_for_norm or []) if m
         )
+        # reference order_seg=1: per-label linear indicator warp (the static
+        # label set comes from the dataset; -1 is the crop-pad fill value)
+        seg_warp_labels = tuple(sorted({-1, *map(int, self.label_manager.all_labels)}
+                                       | ({int(self.label_manager.ignore_label)}
+                                          if self.label_manager.has_ignore_label else set())))
         da5 = None
         if self.cfg.do_data_augmentation:
             aggressive = self.cfg.aggressive_da  # reference nnUNetTrainerDA5
@@ -442,6 +447,7 @@ class Trainer:
                 p_rotation=0.4 if aggressive else 0.2,
                 p_scaling=0.2,
                 data_interpolation_order0=self.cfg.order0_data_interp,  # nnUNetTrainerDAOrd0
+                seg_labels=(None if self.cfg.order0_data_interp else seg_warp_labels),
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
             if aggressive:

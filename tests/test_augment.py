@@ -79,6 +79,24 @@ def test_cubic_sample_matches_scipy_order3(rng):
     np.testing.assert_allclose(got, expect, rtol=2e-4, atol=2e-4)
 
 
+def test_seg_per_label_linear_matches_reference(rng):
+    """order_seg=1 parity: per-label linear indicator warp + 0.5 threshold,
+    later labels overwrite (batchgenerators interpolate_img is_seg path)."""
+    from scipy.ndimage import map_coordinates
+    from anatomask_tpu.data.augment import _seg_per_label_sample
+    seg = rng.randint(-1, 3, (14, 14, 14)).astype(np.float32)
+    pts = rng.uniform(1, 12, size=(3, 6, 6, 6)).astype(np.float32)
+    labels = (-1, 0, 1, 2)
+    got = np.asarray(_seg_per_label_sample(jnp.array(seg), jnp.array(pts), labels))
+    expect = np.zeros((6, 6, 6), np.float32)
+    for cl in sorted(labels):
+        ind = (seg == cl).astype(np.float32)
+        r = map_coordinates(ind, pts.reshape(3, -1), order=1,
+                            mode="constant", cval=0.0).reshape(6, 6, 6)
+        expect[r >= 0.5] = cl
+    np.testing.assert_array_equal(got, expect)
+
+
 def test_cubic_identity_at_integer_coords(rng):
     from anatomask_tpu.data.augment import _cubic_sample
     vol = rng.rand(16, 16, 16).astype(np.float32)

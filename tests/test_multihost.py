@@ -15,28 +15,33 @@ import os, sys
 import jax
 jax.config.update("jax_platforms", "cpu")
 proc_id = int(sys.argv[1]); port = sys.argv[2]; outdir = sys.argv[3]
+nproc = int(sys.argv[4])
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                           num_processes=2, process_id=proc_id)
+                           num_processes=nproc, process_id=proc_id)
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from anatomask_tpu.parallel.mesh import compute_shard_batch_and_oversample
 
-assert jax.process_count() == 2
-devices = jax.devices()          # global: 4 devices over 2 processes
-assert len(devices) == 4
+assert jax.process_count() == nproc
+devices = jax.devices()          # global: 2 local devices per process
+n_dev = 2 * nproc
+assert len(devices) == n_dev
 mesh = Mesh(np.array(devices), ("data",))
 bsh = NamedSharding(mesh, P("data"))
 repl = NamedSharding(mesh, P())
 
-# per-host sampler spec: global batch 4, oversample 0.5 -> each host 2 samples,
-# forced-foreground tail lands entirely on host 1
-local_bs, local_os = compute_shard_batch_and_oversample(4, 0.5, proc_id, 2)
+# per-host sampler spec: global batch = n_dev, oversample 0.5 -> each host 2
+# samples, the forced-foreground tail lands on the later hosts
+local_bs, local_os = compute_shard_batch_and_oversample(n_dev, 0.5, proc_id, nproc)
 assert local_bs == 2
-assert local_os == (0.0 if proc_id == 0 else 1.0), (proc_id, local_os)
+if proc_id < nproc // 2:
+    assert local_os == 0.0, (proc_id, local_os)
+elif proc_id >= (nproc + 1) // 2:
+    assert local_os == 1.0, (proc_id, local_os)
 
 # this host's local slice of the global batch (deterministic content)
-local = np.arange(4 * 8 * 128, dtype=np.float32).reshape(4, 8, 128)
+local = np.arange(n_dev * 8 * 128, dtype=np.float32).reshape(n_dev, 8, 128)
 local = local[proc_id * 2:(proc_id + 1) * 2]
 garr = jax.make_array_from_process_local_data(bsh, local)
 
@@ -44,7 +49,7 @@ garr = jax.make_array_from_process_local_data(bsh, local)
 def global_loss(x):
     return jnp.mean(x * x)   # touches every shard; GSPMD inserts the psum
 
-expected = float(np.mean(np.square(np.arange(4 * 8 * 128, dtype=np.float32))))
+expected = float(np.mean(np.square(np.arange(n_dev * 8 * 128, dtype=np.float32))))
 got = float(global_loss(garr))
 assert abs(got - expected) / expected < 1e-6, (got, expected)
 with open(os.path.join(outdir, f"rank{proc_id}.ok"), "w") as f:
@@ -52,10 +57,10 @@ with open(os.path.join(outdir, f"rank{proc_id}.ok"), "w") as f:
 """
 
 
-def test_two_process_data_parallel(tmp_path):
+def _run_workers(tmp_path, nproc):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
-    port = str(29000 + os.getpid() % 1000)
+    port = str(29000 + (os.getpid() + nproc) % 1000)
     env = dict(os.environ)
     # workers run a script from tmp_path: the repo root is NOT implicitly on
     # their sys.path, so pass it explicitly
@@ -67,12 +72,22 @@ def test_two_process_data_parallel(tmp_path):
     env.pop("JAX_COORDINATOR_ADDRESS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), port, str(tmp_path)],
+            [sys.executable, str(script), str(i), port, str(tmp_path), str(nproc)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = [p.communicate(timeout=300)[0].decode() for p in procs]
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"rank {i} failed:\n{outs[i]}"
-    vals = [open(tmp_path / f"rank{i}.ok").read() for i in range(2)]
-    assert vals[0] == vals[1]  # both hosts computed the identical global loss
+    vals = [open(tmp_path / f"rank{i}.ok").read() for i in range(nproc)]
+    assert len(set(vals)) == 1  # every host computed the identical global loss
+
+
+def test_two_process_data_parallel(tmp_path):
+    _run_workers(tmp_path, 2)
+
+
+def test_four_process_eight_way_data_parallel(tmp_path):
+    """8-way multiprocess (4 coordinated processes x 2 devices), the VERDICT
+    round-2 acceptance shape for multi-host."""
+    _run_workers(tmp_path, 4)
