@@ -12,9 +12,33 @@ from typing import Optional, Type
 from anatomask_tpu.imageio.base import BaseReaderWriter
 from anatomask_tpu.imageio.natural_image import NaturalImage2DIO
 from anatomask_tpu.imageio.meta_image import MetaImageIO
+from anatomask_tpu.imageio.minc_io import MincIO
 from anatomask_tpu.imageio.nifti import NiftiIO, NiftiIOWithReorient
 from anatomask_tpu.imageio.numpy_io import NumpyIO
 from anatomask_tpu.imageio.tiff_io import Tiff3DIO
+
+class SitkLikeIO(BaseReaderWriter):
+    """Alias target for nnU-Net's SimpleITKIO: the reference backend handles
+    NIfTI/MetaImage/NRRD/MINC by file ending, so this dispatches each call to
+    the matching native backend instead of pinning one format."""
+
+    supported_file_endings = [".nii", ".nii.gz", ".mha", ".nrrd", ".mnc"]
+
+    @staticmethod
+    def _impl(fname: str) -> BaseReaderWriter:
+        import os
+        base = os.path.basename(fname)
+        return determine_reader_writer_from_file_ending("." + base.split(".", 1)[1])()
+
+    def read_images(self, image_fnames):
+        return self._impl(image_fnames[0]).read_images(image_fnames)
+
+    def read_seg(self, seg_fname):
+        return self._impl(seg_fname).read_seg(seg_fname)
+
+    def write_seg(self, seg, output_fname, properties):
+        return self._impl(output_fname).write_seg(seg, output_fname, properties)
+
 
 _REGISTRY = {
     "NiftiIO": NiftiIO,
@@ -23,8 +47,12 @@ _REGISTRY = {
     "NaturalImage2DIO": NaturalImage2DIO,
     "Tiff3DIO": Tiff3DIO,
     "MetaImageIO": MetaImageIO,
+    "MincIO": MincIO,
+    # the planner persists the resolved class NAME into plans.json, so the
+    # dispatcher must be findable under its own name too
+    "SitkLikeIO": SitkLikeIO,
     # aliases for nnU-Net dataset.json compatibility
-    "SimpleITKIO": NiftiIO,
+    "SimpleITKIO": SitkLikeIO,
     "NibabelIO": NiftiIO,
     "NibabelIOWithReorient": NiftiIOWithReorient,
 }
@@ -34,6 +62,7 @@ _ENDING_MAP = [
     ([".npy", ".npz"], NumpyIO),
     ([".tif", ".tiff"], Tiff3DIO),
     ([".mha", ".nrrd"], MetaImageIO),
+    ([".mnc"], MincIO),
     ([".png", ".bmp", ".jpg", ".jpeg"], NaturalImage2DIO),
 ]
 

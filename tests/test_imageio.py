@@ -72,7 +72,9 @@ def test_numpy_io_roundtrip(tmp_path, rng):
 def test_registry():
     assert determine_reader_writer_from_file_ending(".nii.gz") is NiftiIO
     assert determine_reader_writer_from_file_ending(".npy") is NumpyIO
-    assert find_reader_writer_by_name("SimpleITKIO") is NiftiIO  # nnU-Net alias
+    from anatomask_tpu.imageio.registry import SitkLikeIO
+    # nnU-Net alias: multi-format dispatcher (nii/mha/nrrd/mnc by ending)
+    assert find_reader_writer_by_name("SimpleITKIO") is SitkLikeIO
     ds = {"file_ending": ".nii.gz"}
     assert determine_reader_writer_from_dataset_json(ds) is NiftiIO
     ds = {"file_ending": ".nii.gz", "overwrite_image_reader_writer": "NumpyIO"}
@@ -230,3 +232,72 @@ def test_meta_image_registry(tmp_path):
     from anatomask_tpu.imageio.registry import determine_reader_writer_from_file_ending
     assert determine_reader_writer_from_file_ending(".mha") is MetaImageIO
     assert determine_reader_writer_from_file_ending(".nrrd") is MetaImageIO
+
+
+def test_minc_roundtrip(tmp_path, rng):
+    from anatomask_tpu.imageio.minc_io import MincIO, read_minc, write_minc
+    seg = rng.randint(0, 4, (7, 6, 5)).astype(np.uint8)
+    props = {"spacing": [1.5, 2.0, 2.5],
+             "minc_dims": {
+                 "xspace": {"step": 1.5, "start": -3.0, "direction_cosines": [1, 0, 0]},
+                 "yspace": {"step": 2.0, "start": 1.0, "direction_cosines": [0, 1, 0]},
+                 "zspace": {"step": -2.5, "start": 9.0, "direction_cosines": [0, 0, 1]},
+             }}
+    f = str(tmp_path / "t.mnc")
+    MincIO().write_seg(seg, f, props)
+    data, p = MincIO().read_seg(f)
+    np.testing.assert_array_equal(data[0], seg)
+    assert p["spacing"] == [1.5, 2.0, 2.5]  # |step| per (x, y, z)
+    assert p["minc_dims"]["zspace"]["start"] == 9.0  # geometry round-trips
+    # raw reader agrees
+    d2, p2 = read_minc(f)
+    np.testing.assert_array_equal(d2, seg)
+
+
+def test_minc_integer_rescale(tmp_path):
+    """Integer volumes with per-z-slice image-min/image-max are rescaled to
+    real values (MINC2 hyperslab scaling)."""
+    import h5py
+    from anatomask_tpu.imageio.minc_io import read_minc
+    stored = np.arange(2 * 3 * 4, dtype=np.uint16).reshape(2, 3, 4)  # z,y,x
+    f = str(tmp_path / "scaled.mnc")
+    with h5py.File(f, "w") as h:
+        root = h.create_group("minc-2.0")
+        dgrp = root.create_group("dimensions")
+        for i, name in enumerate(("zspace", "yspace", "xspace")):
+            g = dgrp.create_group(name)
+            g.attrs["step"] = 1.0
+            g.attrs["start"] = 0.0
+            g.attrs["length"] = stored.shape[i]
+        img = root.create_group("image").create_group("0")
+        ds = img.create_dataset("image", data=stored)
+        ds.attrs["dimorder"] = "zspace,yspace,xspace"
+        ds.attrs["valid_range"] = np.array([0, 65535], np.float64)
+        img.create_dataset("image-min", data=np.array([0.0, 10.0]))
+        img.create_dataset("image-max", data=np.array([65535.0, 65545.0]))
+    data, props = read_minc(f)
+    # slice z=0: identity scaling; slice z=1: +10 offset
+    expect = stored.astype(np.float32)
+    expect[1] += 10.0
+    np.testing.assert_allclose(data.transpose(2, 1, 0), expect, atol=1e-3)
+
+
+def test_minc_in_registry():
+    from anatomask_tpu.imageio.minc_io import MincIO
+    from anatomask_tpu.imageio.registry import (
+        determine_reader_writer_from_file_ending, find_reader_writer_by_name)
+    assert determine_reader_writer_from_file_ending(".mnc") is MincIO
+    assert find_reader_writer_by_name("MincIO") is MincIO
+
+
+def test_simpleitkio_alias_dispatches_by_ending(tmp_path, rng):
+    """A dataset.json naming SimpleITKIO with .mha/.mnc files must route to
+    the right native backend (the reference backend is multi-format)."""
+    from anatomask_tpu.imageio.registry import find_reader_writer_by_name
+    io = find_reader_writer_by_name("SimpleITKIO")()
+    seg = rng.randint(0, 3, (5, 6, 7)).astype(np.uint8)
+    for ending in (".mha", ".mnc"):
+        f = str(tmp_path / ("x" + ending))
+        io.write_seg(seg, f, {"spacing": [1.0, 1.0, 1.0]})
+        data, props = io.read_seg(f)
+        np.testing.assert_array_equal(data[0], seg)
