@@ -315,11 +315,18 @@ class SparseBasicResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, active):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        # Masking invariant: the block INPUT is zero outside active, and the
+        # block OUTPUT must be too (the next conv would smear otherwise). The
+        # masked-moment norms already (a) weight their statistics by the mask
+        # and (b) re-mask their output, so the reference's re-mask after every
+        # conv (sp_conv_forward :12-15) is redundant before a norm — values
+        # outside never influence stats and get zeroed by the norm. Only the
+        # residual branch and the final sum need explicit masking. Exactly
+        # equal, three fewer full-resolution passes per block.
         y = ConvND(self.features, self.kernel_size, self.strides, name="conv1", **dd)(x)
         m_out = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
-        y = y * m_out
         y = nn.leaky_relu(SparseInstanceNorm(name="norm1", **dd)(y, active))
-        y = ConvND(self.features, self.kernel_size, name="conv2", **dd)(y) * m_out
+        y = ConvND(self.features, self.kernel_size, name="conv2", **dd)(y)
         y = SparseInstanceNorm(name="norm2", **dd)(y, active)
         if self.use_1x1conv:
             ones = (1,) * len(self.kernel_size)
