@@ -292,7 +292,10 @@ def _seg_per_label_sample(vol, pos, labels):
     out = jnp.zeros(pos.shape[1:], jnp.float32)
     for cl in sorted(labels):
         ind = (vol == float(cl)).astype(jnp.float32)
-        r = _trilinear_sample(ind, pos, 0.0)
+        # cval=-1: the reference passes border_cval_seg=-1 into map_coordinates
+        # (nnUNetTrainer.py:689-690), so coordinates within half a voxel outside
+        # the source never reach the 0.5 threshold and stay background.
+        r = _trilinear_sample(ind, pos, -1.0)
         out = jnp.where(r >= 0.5, float(cl), out)
     return out
 

@@ -36,11 +36,27 @@ def read_minc(path: str):
         raw = np.asarray(img)
         dimorder = img.attrs.get("dimorder")
         if dimorder is None:
-            # fall back: match dimension lengths against the dataset shape
-            lengths = {name: root[f"dimensions/{name}"].attrs.get("length")
-                       for name in root["dimensions"]}
-            dimorder = ",".join(sorted(lengths, key=lambda n: _SPATIAL.index(n)
-                                       if n in _SPATIAL else 99))
+            # No dimorder attr: infer storage order by matching each spatial
+            # dimension's 'length' attr against the dataset shape, preferring
+            # the conventional MINC2 storage order (zspace, yspace, xspace)
+            # among length-compatible permutations; warn that we are guessing.
+            import itertools
+            import warnings
+            names = [n for n in root["dimensions"] if n in _SPATIAL]
+            lengths = {n: root[f"dimensions/{n}"].attrs.get("length")
+                       for n in names}
+            candidates = [p for p in itertools.permutations(names)
+                          if len(p) == raw.ndim and all(
+                              lengths[n] is None or int(lengths[n]) == s
+                              for n, s in zip(p, raw.shape))]
+            conventional = tuple(reversed(_SPATIAL))  # zspace, yspace, xspace
+            chosen = (conventional if conventional in candidates
+                      else (candidates[0] if candidates else conventional))
+            warnings.warn(
+                f"{path}: MINC2 image has no 'dimorder' attribute; guessing "
+                f"storage order {','.join(chosen)} from dimension lengths "
+                f"(conventional order is zspace,yspace,xspace).")
+            dimorder = ",".join(chosen)
         else:
             if isinstance(dimorder, bytes):
                 dimorder = dimorder.decode()

@@ -28,6 +28,10 @@ class SitkLikeIO(BaseReaderWriter):
     def _impl(fname: str) -> BaseReaderWriter:
         import os
         base = os.path.basename(fname)
+        if "." not in base:
+            raise RuntimeError(
+                f"File '{fname}' has no extension; supported endings: "
+                f"{SitkLikeIO.supported_file_endings}")
         return determine_reader_writer_from_file_ending("." + base.split(".", 1)[1])()
 
     def read_images(self, image_fnames):

@@ -93,6 +93,11 @@ class PretrainConfig:
     # 16G HBM). NOT exact for densify_norm="bn" (cross-sample stats).
     grad_accum_steps: int = 1
     scale_batch_to_devices: bool = True  # same policy as TrainerConfig
+    # HBM-resident case cache (data/device_cache.py): host sends only
+    # (slot, origin) pairs per step; patches are sliced out of HBM on device.
+    # None = auto (on for single-process runs; ATK_DEVICE_CACHE=0 disables).
+    device_cache: Optional[bool] = None
+    device_cache_mb: int = 1024
     # override the encoder topology (None -> STUNet head presets; used for
     # small-scale tests and research variants)
     encoder_dims: Optional[Tuple[int, ...]] = None
@@ -119,7 +124,8 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
              else (depth_map[cfg.model_size.upper()],) * len(dims))
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     remat = cfg.remat or cfg.model_size.upper() == "H"
-    enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat)
+    enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat,
+                              folded_feats=True)
     dec_width = cfg.decoder_width or dims[-1]
     dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width, norm="in",
                        out_channels=in_channels, dtype=dtype, remat=remat)
@@ -269,10 +275,36 @@ class PretrainTrainer:
         n_workers = self.cfg.num_workers if self.cfg.num_workers is not None else min(
             4, get_allowed_n_proc_DA())
         tdt = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+        use_cache = self.cfg.device_cache
+        if use_cache is None:
+            use_cache = (jax.process_count() == 1
+                         and os.environ.get("ATK_DEVICE_CACHE", "1") == "1")
+        self.device_cache = None
+        if use_cache:
+            from anatomask_tpu.data.device_cache import DeviceCaseCache
+            self.device_cache = DeviceCaseCache(
+                ds_tr,
+                initial_patch=tuple(int(i) for i in initial_patch),
+                final_patch=patch,
+                capacity_mb=self.cfg.device_cache_mb,
+                oversample_foreground_percent=local_os,
+                annotated_classes_key=annotated_key,
+                has_ignore=self.label_manager.has_ignore_label,
+                batch_size=local_bs,
+                dtype=tdt or jnp.float32,
+                seed=self.cfg.seed + 77,
+            )
+            self.device_cache.start_refill()
+            self.print_to_log_file(
+                f"[device-cache] {self.device_cache.num_slots} slots of "
+                f"{self.device_cache.slot_shape} in HBM "
+                f"(~{self.cfg.device_cache_mb} MB budget); host sends only "
+                f"(slot, origin) pairs per step")
         # SSL uses no labels on-device: seg stays on the host (it only feeds
         # the sampler's fg-oversampling), saving ~1/3 of the H2D bytes
         self.loader_train = PrefetchPipeline(
-            self.sampler_train, num_workers=n_workers,
+            self.sampler_train,
+            num_workers=1 if self.device_cache is not None else n_workers,
             # multi-host assembles global arrays itself (_to_global)
             device_put=jax.process_count() == 1, transfer_dtype=tdt,
             drop_keys=("seg",))
@@ -460,20 +492,30 @@ class PretrainTrainer:
         if t is not None:
             t.join()
             self._ckpt_thread = None
+            err = getattr(self, "_ckpt_error", None)
+            if err is not None:
+                self._ckpt_error = None
+                raise RuntimeError("background checkpoint write failed") from err
 
     def _write_checkpoints_async(self, jobs):
         """jobs: [(filename, arrays, meta)] written on a background thread so
         the npz serialization overlaps the next epoch's device steps (arrays
         are already host numpy — no device access from the thread). At most
-        one writer is outstanding; a second epoch save joins the first."""
+        one writer is outstanding; a second epoch save joins the first.
+        Write failures (disk full, permissions) are captured and re-raised at
+        the next join so a failed save cannot pass silently."""
         import threading
 
         self._join_ckpt_writer()
 
         def write():
-            for filename, arrays, meta in jobs:
-                ckpt_lib.save_checkpoint(
-                    os.path.join(self.output_folder, filename), arrays, meta)
+            try:
+                for filename, arrays, meta in jobs:
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(self.output_folder, filename), arrays, meta)
+            except BaseException as e:  # surfaced in _join_ckpt_writer
+                self._ckpt_error = e
+                self.print_to_log_file(f"CHECKPOINT WRITE FAILED: {e!r}")
 
         t = threading.Thread(target=write, daemon=True)
         t.start()
@@ -520,7 +562,8 @@ class PretrainTrainer:
 
         cfg = self.cfg
         rng = jax.random.PRNGKey(cfg.seed + 999)
-        train_iter = iter(self.loader_train)
+        train_iter = (iter(self.loader_train) if self.device_cache is None
+                      else None)
         val_iter = iter(self.loader_val)
         history = {"train_loss": [], "val_loss": [], "ema_loss": []}
         best_val = np.inf
@@ -540,18 +583,25 @@ class PretrainTrainer:
                 t_fetch = 0.0
                 for _ in range(self.iters_per_epoch):
                     f0 = time.time()
-                    batch = next(train_iter)
+                    if self.device_cache is not None:
+                        # HBM-resident path: host draws (slot, origin) pairs;
+                        # the batch never crosses the host link. One staged
+                        # slot refill is applied between steps.
+                        self.device_cache.maybe_refill()
+                        slots, origins = self.device_cache.sample_batch()
+                        data = self.device_cache.extract(slots, origins)
+                    else:
+                        batch = next(train_iter)
+                        data = self._to_global(batch["data"])
                     t_fetch += time.time() - f0
                     rng, sub = jax.random.split(rng)
                     if cfg.method == "spark":
                         self.params, self.opt_state, loss = self._spark_step(
-                            self.params, self.opt_state, sub,
-                            self._to_global(batch["data"]))
+                            self.params, self.opt_state, sub, data)
                         self.ema_params = self.params
                     else:
                         self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
-                            self.params, self.ema_params, self.opt_state, sub,
-                            self._to_global(batch["data"]),
+                            self.params, self.ema_params, self.opt_state, sub, data,
                             jnp.float32(ema_decay), jnp.int32(len_loss))
                     self.step_counter += 1
                     losses.append(loss)
@@ -610,6 +660,8 @@ class PretrainTrainer:
             self._join_ckpt_writer()
             self.loader_train.stop()
             self.loader_val.stop()
+            if self.device_cache is not None:
+                self.device_cache.stop()
         self.save_checkpoint("checkpoint_final.npz")
         with open(os.path.join(self.output_folder, "history.json"), "w") as f:
             json.dump(history, f)

@@ -102,6 +102,10 @@ class TrainerConfig:
     # so renamed or user-defined configs keep the behavior
     aggressive_da: bool = False            # DA5-style augmentation stack
     order0_data_interp: bool = False       # nearest-neighbor data resampling in DA
+    # reference SpatialTransform order_data=3 (nnUNetTrainer.py:661); TPU
+    # default is 1 (trilinear) — the exact cubic path is gather-bound on TPU
+    # (PLAN.md); set 3 for reference-default fidelity
+    data_interpolation_order: int = 1
     network_norm: str = "instance"         # instance | batch
     # device-mesh policy: when the plans batch size doesn't divide the device
     # count, scale the GLOBAL batch up to the next multiple so every device is
@@ -152,6 +156,17 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
     "ATKTrainerAdanCosAnneal": TrainerConfig(name="ATKTrainerAdanCosAnneal",
                                              optimizer="adan", lr_scheduler="cosine"),
     "ATKTrainerNoMirroring": TrainerConfig(name="ATKTrainerNoMirroring", do_mirroring_aug=False),
+    # reference variants/training_length/nnUNetTrainer_Xepochs_NoMirroring.py:
+    # named epoch-count x no-mirroring combos (also disable test-time mirroring
+    # downstream: do_mirroring_aug=False is read by the validation exporter)
+    "ATKTrainer_250epochs_NoMirroring": TrainerConfig(
+        name="ATKTrainer_250epochs_NoMirroring", num_epochs=250, do_mirroring_aug=False),
+    "ATKTrainer_2000epochs_NoMirroring": TrainerConfig(
+        name="ATKTrainer_2000epochs_NoMirroring", num_epochs=2000, do_mirroring_aug=False),
+    "ATKTrainer_4000epochs_NoMirroring": TrainerConfig(
+        name="ATKTrainer_4000epochs_NoMirroring", num_epochs=4000, do_mirroring_aug=False),
+    "ATKTrainer_8000epochs_NoMirroring": TrainerConfig(
+        name="ATKTrainer_8000epochs_NoMirroring", num_epochs=8000, do_mirroring_aug=False),
     "ATKTrainerNoDA": TrainerConfig(name="ATKTrainerNoDA", do_data_augmentation=False),
     "ATKTrainerNoDeepSupervision": TrainerConfig(name="ATKTrainerNoDeepSupervision", enable_deep_supervision=False),
     "ATKTrainerDiceLoss": TrainerConfig(name="ATKTrainerDiceLoss", loss="dice"),
@@ -172,6 +187,9 @@ TRAINER_PRESETS: Dict[str, TrainerConfig] = {
         benchmark_no_dataloading=True),
     "ATKTrainerDA5": TrainerConfig(name="ATKTrainerDA5", aggressive_da=True),
     "ATKTrainerDAOrd0": TrainerConfig(name="ATKTrainerDAOrd0", order0_data_interp=True),
+    # reference-default order_data=3 cubic warp (costlier on TPU, PLAN.md)
+    "ATKTrainerDataOrder3": TrainerConfig(name="ATKTrainerDataOrder3",
+                                          data_interpolation_order=3),
     "ATKTrainerBN": TrainerConfig(name="ATKTrainerBN", network_norm="batch"),
     "STUNetTrainer_small": stunet_trainer_config("S"),
     "STUNetTrainer_base": stunet_trainer_config("B"),
@@ -447,6 +465,7 @@ class Trainer:
                 p_rotation=0.4 if aggressive else 0.2,
                 p_scaling=0.2,
                 data_interpolation_order0=self.cfg.order0_data_interp,  # nnUNetTrainerDAOrd0
+                data_interpolation_order=self.cfg.data_interpolation_order,
                 seg_labels=(None if self.cfg.order0_data_interp else seg_warp_labels),
             )
             intensity = IntensityAugmentConfig(lowres_ignore_axis0=dummy_2d)
@@ -704,19 +723,28 @@ class Trainer:
         if t is not None:
             t.join()
             self._ckpt_thread = None
+            err = getattr(self, "_ckpt_error", None)
+            if err is not None:
+                self._ckpt_error = None
+                raise RuntimeError("background checkpoint write failed") from err
 
     def _write_checkpoints_async(self, jobs):
         """jobs: [(filename, host_arrays, meta)] written on a background thread
         so npz serialization overlaps the next epoch's device steps. At most
-        one writer outstanding."""
+        one writer outstanding. Write failures are captured and re-raised at
+        the next join so a failed save cannot pass silently."""
         import threading
 
         self._join_ckpt_writer()
 
         def write():
-            for filename, arrays, meta in jobs:
-                ckpt_lib.save_checkpoint(
-                    os.path.join(self.output_folder, filename), arrays, meta)
+            try:
+                for filename, arrays, meta in jobs:
+                    ckpt_lib.save_checkpoint(
+                        os.path.join(self.output_folder, filename), arrays, meta)
+            except BaseException as e:  # surfaced in _join_ckpt_writer
+                self._ckpt_error = e
+                self.print_to_log_file(f"CHECKPOINT WRITE FAILED: {e!r}")
 
         t = threading.Thread(target=write, daemon=True)
         t.start()

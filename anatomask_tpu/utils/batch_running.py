@@ -1,12 +1,16 @@
-"""Batch-run command generation + benchmark summarization.
+"""Batch-run command generation + cross-dataset result collection.
 
 Capability parity: /root/reference/nnunetv2/batch_running/ — the reference
 generates LSF cluster command lines for Decathlon-style sweeps
-(generate_lsf_runs_customDecathlon.py) and summarizes benchmark trainer
+(generate_lsf_runs_customDecathlon.py), collects per-fold validation Dice
+across datasets/trainers/configs into CSVs
+(collect_results_custom_Decathlon.py) and summarizes benchmark trainer
 results (summarize_benchmark_results.py). Here the generator emits plain shell
 command lists (one per line) that can be fed to any scheduler (GKE/XManager/
-slurm/bash); the summarizer reads the benchmark_result.json files written by
-the benchmark trainers.
+slurm/bash); `collect_results`/`summarize_collected_results` walk this
+framework's results tree (<results>/<Dataset>/<trainer>__<plans>__<config>/
+fold_<f>/validation/summary.json); the benchmark summarizer reads the
+benchmark_result.json files written by the benchmark trainers.
 """
 from __future__ import annotations
 
@@ -43,6 +47,94 @@ def generate_benchmark_commands(datasets: Sequence, configurations=("2d", "3d_fu
     for tr in ("ATKTrainerBenchmark_5epochs", "ATKTrainerBenchmark_5epochs_noDataLoading"):
         cmds.extend(generate_training_commands(datasets, configurations, trainers=(tr,), folds=(0,)))
     return cmds
+
+
+def collect_results(trainers: Dict[str, Sequence[str]], datasets: Sequence,
+                    output_file: str,
+                    configurations: Sequence[str] = ("2d", "3d_fullres",
+                                                     "3d_lowres",
+                                                     "3d_cascade_fullres"),
+                    folds: Sequence[int] = (0, 1, 2, 3, 4)) -> None:
+    """Walk the results tree and write one CSV row per existing
+    (dataset, config, trainer, plans) with the per-fold validation
+    foreground-mean Dice and their nanmean, matching the reference collector
+    (/root/reference/nnunetv2/batch_running/collect_results_custom_Decathlon.py:12-40).
+    Missing folds are left as empty cells (NaN in the mean)."""
+    import numpy as np
+    from anatomask_tpu.utils.helpers import maybe_convert_to_dataset_name
+    results_root = require("results")
+    with open(output_file, "w") as f:
+        for d in datasets:
+            name = maybe_convert_to_dataset_name(d)
+            for c in configurations:
+                for trainer, plans_list in trainers.items():
+                    for plans in plans_list:
+                        model_dir = os.path.join(
+                            results_root, name, f"{trainer}__{plans}__{c}")
+                        if not os.path.isdir(model_dir):
+                            continue
+                        f.write(f"{name},{c},{trainer},{plans},{results_root}")
+                        fold_dices = []
+                        for fl in folds:
+                            sf = os.path.join(model_dir, f"fold_{fl}",
+                                              "validation", "summary.json")
+                            if not os.path.isfile(sf):
+                                print("expected output file not found:", sf)
+                                f.write(",")
+                                fold_dices.append(np.nan)
+                            else:
+                                dice = load_json(sf)["foreground_mean"]["Dice"]
+                                fold_dices.append(dice)
+                                f.write(",%02.4f" % dice)
+                        f.write(",%02.4f\n" % np.nanmean(fold_dices))
+
+
+def summarize_collected_results(input_file: str, output_file: str,
+                                folds: Sequence[int], configs: Sequence[str],
+                                datasets: Sequence,
+                                trainers: Dict[str, Sequence[str]]) -> None:
+    """Pivot a collect_results CSV into one row per trainer__plans with a
+    column per (dataset_id, config) mean-over-folds Dice and a trailing
+    overall mean (reference summarize, collect_results_custom_Decathlon.py:43-92).
+    Rows with any missing fold yield 'nan' for that cell."""
+    import numpy as np
+    from anatomask_tpu.utils.helpers import (convert_dataset_name_to_id,
+                                             maybe_convert_to_dataset_name)
+    rows = [ln.rstrip("\n").split(",") for ln in open(input_file)
+            if ln.strip()]
+    valid_configs = {}
+    for d in datasets:
+        name = maybe_convert_to_dataset_name(d)
+        present = sorted({r[1] for r in rows if r[0] == name})
+        valid_configs[name] = [c for c in present if c in configs]
+    with open(output_file, "w") as f:
+        f.write("name")
+        for name, cs in valid_configs.items():
+            for c in cs:
+                f.write(",%d_%s" % (convert_dataset_name_to_id(name), c[:4]))
+        f.write(",mean\n")
+        for trainer, plans_list in trainers.items():
+            for plans in plans_list:
+                f.write(f"{trainer}__{plans}")
+                r = []
+                for name, cs in valid_configs.items():
+                    for c in cs:
+                        sel = [row for row in rows
+                               if row[:4] == [name, c, trainer, plans]]
+                        assert len(sel) <= 1, "duplicate collect_results row"
+                        # row = 4 keys + results_root + per-fold cells + mean
+                        num_folds = len(sel[0]) - 6 if sel else 0
+                        cells = ([sel[0][5 + i] for i in folds]
+                                 if sel and max(folds) < num_folds else [])
+                        if not cells or "" in cells:
+                            print("missing:", trainer, plans, name, c)
+                            f.write(",nan")
+                            r.append(np.nan)
+                        else:
+                            m = float(np.mean([float(v) for v in cells]))
+                            f.write(",%02.4f" % m)
+                            r.append(m)
+                f.write(",%02.4f\n" % np.mean(r))
 
 
 def summarize_benchmark_results(datasets: Sequence, output_file: Optional[str] = None) -> Dict:

@@ -40,6 +40,15 @@ def maybe_convert_to_dataset_name(dataset_name_or_id: Union[int, str]) -> str:
     return candidates.pop()
 
 
+def convert_dataset_name_to_id(dataset_name: str) -> int:
+    """'Dataset009_Spleen' -> 9 (reference: dataset_name_id_conversion.py
+    convert_dataset_name_to_id)."""
+    m = re.match(r"Dataset(\d{3})_", dataset_name)
+    if not m:
+        raise ValueError(f"{dataset_name!r} does not look like DatasetXXX_Name")
+    return int(m.group(1))
+
+
 def get_case_identifiers_from_raw(raw_dataset_dir: str, dataset_json: dict) -> List[str]:
     """Case identifiers from imagesTr file names (strip _XXXX channel + ending)."""
     ending = dataset_json["file_ending"]

@@ -65,10 +65,13 @@ def test_spatial_rotation_changes_but_preserves_range(rng):
 
 
 def test_cubic_sample_matches_scipy_order3(rng):
-    """Default data warp order is 3 (reference SpatialTransform order_data=3):
-    the on-device cubic B-spline sampler matches scipy map_coordinates(order=3)
-    away from the boundary (the FIR prefilter truncation is ~1e-7; boundary
-    handling differs in the reflected prefilter region)."""
+    """Reference SpatialTransform uses order_data=3; our shipped default is
+    order 1 (trilinear) for TPU cost reasons with order 3 selectable via
+    SpatialAugmentConfig.data_interpolation_order — see PARITY.md. This test
+    checks the order-3 path: the on-device cubic B-spline sampler matches
+    scipy map_coordinates(order=3) away from the boundary (the FIR prefilter
+    truncation is ~1e-7; boundary handling differs in the reflected prefilter
+    region)."""
     from scipy.ndimage import map_coordinates
     from anatomask_tpu.data.augment import _cubic_sample
     vol = rng.rand(20, 19, 18).astype(np.float32)
