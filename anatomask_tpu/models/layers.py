@@ -19,6 +19,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+def _folded_enabled() -> bool:
+    """Whole-stage folded execution (ATK_FOLDED=1): models thread
+    (B*D, H, W, C) tensors through z-stride-1 stages so the 2D conv emitter's
+    layout persists between convs instead of relayouting to 5D per conv
+    (the round-2 profile's 141 ms/step of 'data formatting', PLAN.md)."""
+    import os
+    return os.environ.get("ATK_FOLDED", "1") == "1"
+
+
 # He (Kaiming) normal init with leaky-relu gain, matching nnU-Net's
 # InitWeights_He(1e-2) (reference: utilities/network_initialization.py)
 def he_normal_leaky(negative_slope: float = 1e-2):
@@ -30,7 +39,13 @@ class _ConvInner(nn.Module):
     """Conv core with the z2d TPU lowering (ops/conv_lowering.py) for hot 3D
     shapes and the native XLA conv otherwise. Parameter tree ("kernel"/"bias",
     shapes (k..., cin, features)) is IDENTICAL to flax nn.Conv, so checkpoints
-    and torch-interop adapters are unaffected by the lowering choice."""
+    and torch-interop adapters are unaffected by the lowering choice.
+
+    With folded_depth=D the input is a FOLDED (B*D, H, W, C) tensor and the
+    output comes back folded at the output resolution: z-stride-1 convs run
+    entirely in the 2D emitter's layout (conv3d_zconcat_folded / a (1,1)
+    matmul for 1x1x1), avoiding the per-conv 5D<->4D relayouts; other convs
+    unfold internally."""
     features: int
     kernel_size: Tuple[int, ...]
     strides: Tuple[int, ...]
@@ -39,11 +54,13 @@ class _ConvInner(nn.Module):
     dtype: jnp.dtype
     param_dtype: jnp.dtype
     kernel_init: Callable
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
         from anatomask_tpu.ops.conv_lowering import (
-            conv3d_z2d, conv3d_zconcat, pick_lowering)
+            conv3d_z2d, conv3d_zconcat, conv3d_zconcat_folded, pick_lowering,
+            use_zconcat)
         ks = self.kernel_size
         cin = x.shape[-1]
         kernel = self.param("kernel", self.kernel_init,
@@ -52,30 +69,66 @@ class _ConvInner(nn.Module):
                            self.param_dtype) if self.use_bias else None)
         x = x.astype(self.dtype)
         kernel = kernel.astype(self.dtype)
-        out_spatial = [
-            (x.shape[1 + i] + sum(self.padding[i]) - ks[i]) // self.strides[i] + 1
-            for i in range(len(ks))
-        ]
-        lowering = pick_lowering(ks, self.strides, self.padding, out_spatial)
-        if lowering == "zconcat":
-            y = conv3d_zconcat(x, kernel, self.strides, self.padding)
-        elif lowering == "z2d":
-            y = conv3d_z2d(x, kernel, self.strides, self.padding)
+        if self.folded_depth is not None:
+            y = self._folded_conv(x, kernel)
         else:
-            nd = len(ks)
-            spatial = "DHW"[-nd:] if nd <= 3 else None
-            dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
-            y = jax.lax.conv_general_dilated(
-                x, kernel, self.strides, list(self.padding),
-                dimension_numbers=dn)
+            out_spatial = [
+                (x.shape[1 + i] + sum(self.padding[i]) - ks[i]) // self.strides[i] + 1
+                for i in range(len(ks))
+            ]
+            lowering = pick_lowering(ks, self.strides, self.padding, out_spatial)
+            if lowering == "zconcat":
+                y = conv3d_zconcat(x, kernel, self.strides, self.padding)
+            elif lowering == "z2d":
+                y = conv3d_z2d(x, kernel, self.strides, self.padding)
+            else:
+                nd = len(ks)
+                spatial = "DHW"[-nd:] if nd <= 3 else None
+                dn = (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+                y = jax.lax.conv_general_dilated(
+                    x, kernel, self.strides, list(self.padding),
+                    dimension_numbers=dn)
         if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
+    def _folded_conv(self, x, kernel):
+        from anatomask_tpu.ops.conv_lowering import (
+            conv3d_z2d, conv3d_zconcat, conv3d_zconcat_folded, pick_lowering)
+        ks, D = self.kernel_size, self.folded_depth
+        assert len(ks) == 3, "folded mode is 3D-only"
+        N, H, W, _ = x.shape
+        B = N // D
+        spatial_in = (D, H, W)
+        out_spatial = [
+            (spatial_in[i] + sum(self.padding[i]) - ks[i]) // self.strides[i] + 1
+            for i in range(3)
+        ]
+        if ks == (1, 1, 1) and self.strides == (1, 1, 1):
+            # pure matmul: run as a (1,1) 2D conv directly on the folded input
+            return jax.lax.conv_general_dilated(
+                x, kernel.reshape(1, 1, kernel.shape[3], kernel.shape[4]),
+                (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        lowering = pick_lowering(ks, self.strides, self.padding, out_spatial)
+        if lowering == "zconcat":
+            return conv3d_zconcat_folded(x, D, kernel, self.strides, self.padding)
+        # unfold for the remaining (z-strided / small-volume) cases
+        x5 = x.reshape(B, D, H, W, x.shape[-1])
+        if lowering == "z2d":
+            y = conv3d_z2d(x5, kernel, self.strides, self.padding)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x5, kernel, self.strides, list(self.padding),
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return y.reshape(B * y.shape[1], *y.shape[2:])
+
 
 class ConvND(nn.Module):
     """Convolution with torch-style symmetric k//2 padding ('torch_same'),
-    or explicit padding. kernel_size/strides are per-spatial-dim sequences."""
+    or explicit padding. kernel_size/strides are per-spatial-dim sequences.
+    folded_depth=D: input/output are folded (B*D, H, W, C) tensors (see
+    _ConvInner)."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = None
@@ -84,6 +137,7 @@ class ConvND(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = he_normal_leaky()
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +156,7 @@ class ConvND(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             kernel_init=self.kernel_init,
+            folded_depth=self.folded_depth,
             name="conv",
         )(x)
 
@@ -109,10 +164,16 @@ class ConvND(nn.Module):
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over spatial dims (torch
     InstanceNorm3d(affine=True), eps 1e-5). Statistics in fp32 regardless of
-    compute dtype."""
+    compute dtype.
+
+    folded_depth=D: x is a folded (B*D, H, W, C) tensor; per-sample stats are
+    computed as per-row reductions followed by a (B, D) collapse of the SMALL
+    per-row moment tensors, so the large activation never leaves the folded
+    layout (same sums, different association — fp32 accumulate)."""
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
@@ -120,14 +181,29 @@ class InstanceNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        axes = tuple(range(1, x.ndim - 1))
-        # fp32 REDUCTIONS only — never materialize an fp32 copy of the (large)
-        # activation; the normalization is applied as a bf16 affine a*x+b
-        mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
-        mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
-        var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
-        a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-        b = bias.astype(jnp.float32) - mean * a
+        if self.folded_depth is not None:
+            D = self.folded_depth
+            B = x.shape[0] // D
+            # per-row fp32 means -> (B, D, C) -> per-sample mean over rows
+            row_m = jnp.mean(x, (1, 2), dtype=jnp.float32)        # (B*D, C)
+            row_m2 = jnp.mean(jnp.square(x), (1, 2), dtype=jnp.float32)
+            mean = row_m.reshape(B, D, c).mean(1)                  # (B, C)
+            mean_sq = row_m2.reshape(B, D, c).mean(1)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+            b = bias.astype(jnp.float32) - mean * a
+            # broadcast back per row: (B, C) -> (B*D, 1, 1, C), tiny repeat
+            a = jnp.repeat(a, D, axis=0)[:, None, None, :]
+            b = jnp.repeat(b, D, axis=0)[:, None, None, :]
+        else:
+            axes = tuple(range(1, x.ndim - 1))
+            # fp32 REDUCTIONS only — never materialize an fp32 copy of the
+            # (large) activation; normalization applied as a bf16 affine a*x+b
+            mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
+            mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+            a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+            b = bias.astype(jnp.float32) - mean * a
         out_dtype = self.dtype if self.dtype is not None else orig_dtype
         return (x.astype(out_dtype) * a.astype(out_dtype) + b.astype(out_dtype))
 

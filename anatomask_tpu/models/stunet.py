@@ -23,28 +23,43 @@ from typing import List, Optional, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from anatomask_tpu.models.layers import ConvND, InstanceNorm, leaky_relu, upsample_nearest
+from anatomask_tpu.models.layers import (ConvND, InstanceNorm, _folded_enabled,
+                                         leaky_relu, upsample_nearest)
+
+
+def folded_out_depth(depth_in: int, kernel_z: int, stride_z: int) -> int:
+    """Output z extent of a torch-same-padded conv (pad kz//2 each side)."""
+    return (depth_in + 2 * (kernel_z // 2) - kernel_z) // stride_z + 1
 
 
 class BasicResBlock(nn.Module):
+    """conv-IN-lrelu, conv-IN, optional strided 1x1 shortcut, add, lrelu.
+    folded_depth=D runs the whole block on folded (B*D, H, W, C) tensors
+    (z-stride-1 convs never leave the 2D emitter's layout)."""
     features: int
     kernel_size: Sequence[int]
     strides: Sequence[int] = (1, 1, 1)
     use_1x1conv: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        y = ConvND(self.features, self.kernel_size, self.strides, name="conv1", **dd)(x)
-        y = leaky_relu(InstanceNorm(name="norm1", **dd)(y))
-        y = ConvND(self.features, self.kernel_size, name="conv2", **dd)(y)
-        y = InstanceNorm(name="norm2", **dd)(y)
+        d_in = self.folded_depth
+        d_out = (folded_out_depth(d_in, self.kernel_size[0], self.strides[0])
+                 if d_in is not None else None)
+        y = ConvND(self.features, self.kernel_size, self.strides, name="conv1",
+                   folded_depth=d_in, **dd)(x)
+        y = leaky_relu(InstanceNorm(name="norm1", folded_depth=d_out, **dd)(y))
+        y = ConvND(self.features, self.kernel_size, name="conv2",
+                   folded_depth=d_out, **dd)(y)
+        y = InstanceNorm(name="norm2", folded_depth=d_out, **dd)(y)
         if self.use_1x1conv:
             ones = (1,) * len(self.kernel_size)
             x = ConvND(self.features, ones, self.strides, padding=tuple((0, 0) for _ in ones),
-                       name="conv3", **dd)(x)
+                       name="conv3", folded_depth=d_in, **dd)(x)
         return leaky_relu(y + x)
 
 
@@ -56,28 +71,49 @@ class _ResStage(nn.Module):
     strides: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        d_in = self.folded_depth
+        d_out = (folded_out_depth(d_in, self.kernel_size[0], self.strides[0])
+                 if d_in is not None else None)
         x = BasicResBlock(self.features, self.kernel_size, self.strides,
-                          use_1x1conv=True, name="block0", **dd)(x)
+                          use_1x1conv=True, name="block0", folded_depth=d_in,
+                          **dd)(x)
         for b in range(1, self.depth):
-            x = BasicResBlock(self.features, self.kernel_size, name=f"block{b}", **dd)(x)
+            x = BasicResBlock(self.features, self.kernel_size, name=f"block{b}",
+                              folded_depth=d_out, **dd)(x)
         return x
 
 
 class UpsampleLayerNearest(nn.Module):
+    """folded_depth=D: nearest-upsample in folded form — the z repeat is a
+    row repeat on the folded axis (rows of one sample stay contiguous)."""
     features: int
     scale: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
-        x = upsample_nearest(x, self.scale)
+        if self.folded_depth is not None:
+            sz, sy, sx = self.scale
+            if sz != 1:
+                x = jnp.repeat(x, sz, axis=0)
+            if sy != 1:
+                x = jnp.repeat(x, sy, axis=1)
+            if sx != 1:
+                x = jnp.repeat(x, sx, axis=2)
+            new_d = self.folded_depth * self.scale[0]
+        else:
+            x = upsample_nearest(x, self.scale)
+            new_d = None
         ones = (1,) * len(self.scale)
         return ConvND(self.features, ones, padding=tuple((0, 0) for _ in ones), name="conv",
+                      folded_depth=new_d,
                       dtype=self.dtype, param_dtype=self.param_dtype)(x)
 
 
@@ -118,12 +154,20 @@ class STUNetEncoder(nn.Module):
     def __call__(self, x, hierarchical: bool = True):
         strides, kernels = self._strides(), self._kernels()
         Stage = nn.remat(_ResStage) if self.remat else _ResStage
+        folded = _folded_enabled()
+        cur_d = None
+        if folded:
+            B, cur_d = x.shape[0], x.shape[1]
+            x = x.reshape(B * cur_d, *x.shape[2:])
         feats = []
         for d, (f, dep) in enumerate(zip(self.dims, self.depth)):
             x = Stage(f, dep, kernels[d], strides[d], dtype=self.dtype,
-                      param_dtype=self.param_dtype, name=f"conv_blocks_context_{d}")(x)
-            feats.append(x)
-        return feats if hierarchical else x
+                      param_dtype=self.param_dtype, folded_depth=cur_d,
+                      name=f"conv_blocks_context_{d}")(x)
+            if folded:
+                cur_d = folded_out_depth(cur_d, kernels[d][0], strides[d][0])
+            feats.append(x.reshape(-1, cur_d, *x.shape[1:]) if folded else x)
+        return feats if hierarchical else feats[-1]
 
 
 class STUNet(nn.Module):
@@ -159,27 +203,43 @@ class STUNet(nn.Module):
         )
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         Stage = nn.remat(_ResStage) if self.remat else _ResStage
+        folded = _folded_enabled()
+        cur_d = None
+        batch = x.shape[0]
+        if folded:
+            cur_d = x.shape[1]
+            x = x.reshape(batch * cur_d, *x.shape[2:])
 
-        # encoder
+        # encoder (skips kept folded alongside their z extents)
         skips = []
+        skip_depths = []
         for d in range(num_pool + 1):
             stride = (1, 1, 1) if d == 0 else pools[d - 1]
             x = Stage(self.dims[d], self.depth[d], kernels[d], stride,
-                      name=f"conv_blocks_context_{d}", **dd)(x)
+                      name=f"conv_blocks_context_{d}", folded_depth=cur_d, **dd)(x)
+            if folded:
+                cur_d = folded_out_depth(cur_d, kernels[d][0], stride[0])
             if d < num_pool:
                 skips.append(x)
+                skip_depths.append(cur_d)
 
         # decoder
         seg_outputs = []
         for u in range(num_pool):
             x = UpsampleLayerNearest(self.dims[-2 - u], pools[-1 - u],
-                                     name=f"upsample_layers_{u}", **dd)(x)
+                                     name=f"upsample_layers_{u}",
+                                     folded_depth=cur_d, **dd)(x)
+            if folded:
+                cur_d = cur_d * pools[-1 - u][0]
+                assert cur_d == skip_depths[-(u + 1)], "skip z extent mismatch"
             x = jnp.concatenate([x, skips[-(u + 1)]], axis=-1)
             x = Stage(self.dims[-2 - u], self.depth[-2 - u], kernels[-2 - u], (1, 1, 1),
-                      name=f"conv_blocks_localization_{u}", **dd)(x)
+                      name=f"conv_blocks_localization_{u}", folded_depth=cur_d, **dd)(x)
             ones = (1,) * len(kernels[0])
             seg = ConvND(self.num_classes, ones, padding=tuple((0, 0) for _ in ones),
-                         name=f"seg_outputs_{u}", **dd)(x)
+                         name=f"seg_outputs_{u}", folded_depth=cur_d, **dd)(x)
+            if folded:
+                seg = seg.reshape(batch, cur_d, *seg.shape[1:])
             seg_outputs.append(seg)
 
         if self.deep_supervision:

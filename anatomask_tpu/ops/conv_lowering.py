@@ -76,6 +76,41 @@ def use_zconcat(kernel_size, strides, padding, in_spatial) -> bool:
     return strides[0] == 1 and pz0 + pz1 == kz - 1
 
 
+def conv3d_zconcat_folded(
+    xf: jnp.ndarray,
+    depth: int,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    padding: Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]],
+) -> jnp.ndarray:
+    """z-concat lowering on an already-FOLDED input (B*D, H, W, C) -> folded
+    output (B*D, H', W', F). Identical math to conv3d_zconcat (which is this
+    plus the boundary reshapes); exposing the folded form lets stride-1 stages
+    chain conv -> norm -> act -> conv entirely in the 2D emitter's layout with
+    no 5D round-trips (the 141 ms/step of 'data formatting' relayouts in the
+    round-2 profile, PLAN.md)."""
+    kz = kernel.shape[0]
+    _, sy, sx = strides
+    (pz0, pz1), py, px = padding
+    F = kernel.shape[4]
+    # (ky, kx, C, kz*F), tap-major blocks of F output channels
+    w_all = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=-1)
+    y = jax.lax.conv_general_dilated(
+        xf, w_all, (sy, sx), (py, px),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    zidx = jnp.arange(xf.shape[0]) % depth
+    out = None
+    for dz in range(kz):
+        yb = y[:, :, :, dz * F:(dz + 1) * F]
+        shift = dz - pz0  # out[b, z] takes tap dz from input row z + shift
+        if shift:
+            valid = ((zidx + shift) >= 0) & ((zidx + shift) < depth)
+            yb = jnp.where(valid[:, None, None, None],
+                           jnp.roll(yb, -shift, axis=0), 0)
+        out = yb if out is None else out + yb
+    return out
+
+
 def conv3d_zconcat(
     x: jnp.ndarray,
     kernel: jnp.ndarray,
@@ -92,26 +127,8 @@ def conv3d_zconcat(
     (probes/probe_folded_stage.py): 1.14-1.23x z2d fwd and 1.27-1.38x
     fwd+bwd at the hot dec3/enc0 shapes."""
     B, D, H, W, C = x.shape
-    kz = kernel.shape[0]
-    _, sy, sx = strides
-    (pz0, pz1), py, px = padding
-    F = kernel.shape[4]
-    # (ky, kx, C, kz*F), tap-major blocks of F output channels
-    w_all = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=-1)
-    xf = x.reshape(B * D, H, W, C)
-    y = jax.lax.conv_general_dilated(
-        xf, w_all, (sy, sx), (py, px),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    zidx = jnp.arange(B * D) % D
-    out = None
-    for dz in range(kz):
-        yb = y[:, :, :, dz * F:(dz + 1) * F]
-        shift = dz - pz0  # out[b, z] takes tap dz from input row z + shift
-        if shift:
-            valid = ((zidx + shift) >= 0) & ((zidx + shift) < D)
-            yb = jnp.where(valid[:, None, None, None],
-                           jnp.roll(yb, -shift, axis=0), 0)
-        out = yb if out is None else out + yb
+    out = conv3d_zconcat_folded(x.reshape(B * D, H, W, C), D, kernel,
+                                strides, padding)
     return out.reshape(B, D, *out.shape[1:])
 
 

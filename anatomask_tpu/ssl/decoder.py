@@ -26,7 +26,8 @@ def _trunc_normal_init(std: float = 0.02):
 
 class _BatchNorm(nn.Module):
     """Training-mode batch norm (batch+spatial stats). Under the sharded global
-    batch this is SyncBN for free."""
+    batch this is SyncBN for free. Works on folded (B*D, H, W, C) input
+    unchanged: batch+spatial reduction covers the same elements either way."""
     epsilon: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
@@ -36,7 +37,7 @@ class _BatchNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        axes = (0, 1, 2, 3)
+        axes = tuple(range(x.ndim - 1))
         # fp32 reductions, bf16 affine application (no fp32 activation copy)
         mean = jnp.mean(x, axes, dtype=jnp.float32, keepdims=True)
         mean_sq = jnp.mean(jnp.square(x), axes, dtype=jnp.float32, keepdims=True)
@@ -46,9 +47,10 @@ class _BatchNorm(nn.Module):
         return (x.astype(self.dtype) * a.astype(self.dtype) + b.astype(self.dtype))
 
 
-def _make_norm(kind: str, name: str, dtype, param_dtype):
+def _make_norm(kind: str, name: str, dtype, param_dtype, folded_depth=None):
     if kind == "in":
-        return InstanceNorm(name=name, dtype=dtype, param_dtype=param_dtype)
+        return InstanceNorm(name=name, dtype=dtype, param_dtype=param_dtype,
+                            folded_depth=folded_depth)
     return _BatchNorm(name=name, dtype=dtype, param_dtype=param_dtype)
 
 
@@ -80,11 +82,15 @@ class ConvTranspose2x(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None  # input is folded (B*D, H, W, C); output folded at 2D
 
     @nn.compact
     def __call__(self, x):
         import os as _os
         from anatomask_tpu.ops.conv_lowering import _MIN_VOLUME
+        if self.folded_depth is not None:
+            d = self.folded_depth
+            x = x.reshape(x.shape[0] // d, d, *x.shape[1:])
         out_vol = 8 * x.shape[1] * x.shape[2] * x.shape[3]
         k, b = _ConvTParams(self.features, (4, 4, 4), self.param_dtype,
                             name="conv")(x.shape[-1])
@@ -92,40 +98,56 @@ class ConvTranspose2x(nn.Module):
                 and out_vol >= _MIN_VOLUME):
             from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1
             y = conv_transpose_4_2_1(x.astype(self.dtype), k.astype(self.dtype))
-            return y + b.astype(self.dtype)
-        y = jax.lax.conv_transpose(
-            x.astype(self.dtype), k.astype(self.dtype), (2, 2, 2), "VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b.astype(self.dtype)
-        # full transpose output is 2*in + 2; torch's padding=1 crops one voxel
-        # from each side -> out = 2*in
-        return y[:, 1:-1, 1:-1, 1:-1, :]
+            y = y + b.astype(self.dtype)
+        else:
+            y = jax.lax.conv_transpose(
+                x.astype(self.dtype), k.astype(self.dtype), (2, 2, 2), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b.astype(self.dtype)
+            # full transpose output is 2*in + 2; torch's padding=1 crops one
+            # voxel from each side -> out = 2*in
+            y = y[:, 1:-1, 1:-1, 1:-1, :]
+        if self.folded_depth is not None:
+            y = y.reshape(y.shape[0] * y.shape[1], *y.shape[2:])
+        return y
 
 
 class UNetBlock(nn.Module):
+    """folded_depth=D: the block runs on folded (B*D, H, W, C) tensors; the
+    transposed conv unfolds internally, the two stride-1 convs + norms stay in
+    the 2D emitter's layout (output folded at 2D)."""
     features_out: int
     norm: str = "in"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x):
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         cin = x.shape[-1]
-        x = ConvTranspose2x(cin, name="up_sample", **dd)(x)
+        d_out = None if self.folded_depth is None else 2 * self.folded_depth
+        x = ConvTranspose2x(cin, name="up_sample",
+                            folded_depth=self.folded_depth, **dd)(x)
         # _ConvInner = same params as nn.Conv (kernel/bias under this name) but
         # with the z2d TPU lowering for the hot full-resolution shapes
         x = _ConvInner(cin, (3, 3, 3), (1, 1, 1), ((1, 1),) * 3, use_bias=False,
-                       kernel_init=_trunc_normal_init(), name="conv0", **dd)(x)
-        x = _make_norm(self.norm, "norm0", self.dtype, self.param_dtype)(x)
+                       kernel_init=_trunc_normal_init(), name="conv0",
+                       folded_depth=d_out, **dd)(x)
+        x = _make_norm(self.norm, "norm0", self.dtype, self.param_dtype,
+                       folded_depth=d_out)(x)
         x = jnp.clip(nn.relu(x), 0, 6)  # ReLU6
         x = _ConvInner(self.features_out, (3, 3, 3), (1, 1, 1), ((1, 1),) * 3,
                        use_bias=False, kernel_init=_trunc_normal_init(),
-                       name="conv1", **dd)(x)
-        x = _make_norm(self.norm, "norm1", self.dtype, self.param_dtype)(x)
+                       name="conv1", folded_depth=d_out, **dd)(x)
+        x = _make_norm(self.norm, "norm1", self.dtype, self.param_dtype,
+                       folded_depth=d_out)(x)
         return x
 
 
 class LightDecoder(nn.Module):
+    """folded_depth=D0: to_dec are FOLDED (B*D_i, H_i, W_i, C_i) features with
+    to_dec[0] at z extent D0 (doubling per stage); returns a folded
+    full-resolution reconstruction."""
     up_sample_ratio: int
     width: int = 768
     norm: str = "in"
@@ -135,17 +157,27 @@ class LightDecoder(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, to_dec: List[Optional[jnp.ndarray]]):
+    def __call__(self, to_dec: List[Optional[jnp.ndarray]],
+                 folded_depth: Optional[int] = None):
         assert self.up_sample_ratio & (self.up_sample_ratio - 1) == 0, "ratio must be 2^n"
         n = round(math.log2(self.up_sample_ratio))
         channels = [self.width // 2 ** i for i in range(n + 1)]
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         Block = nn.remat(UNetBlock) if self.remat else UNetBlock
+        cur_d = folded_depth
         x = 0.0
         for i in range(n):
             if i < len(to_dec) and to_dec[i] is not None:
                 x = x + to_dec[i]
-            x = Block(channels[i + 1], norm=self.norm, name=f"dec{i}", **dd)(x)
+            x = Block(channels[i + 1], norm=self.norm, name=f"dec{i}",
+                      folded_depth=cur_d, **dd)(x)
+            if cur_d is not None:
+                cur_d *= 2
+        if folded_depth is not None:
+            return _ConvInner(self.out_channels, (1, 1, 1), (1, 1, 1),
+                              ((0, 0),) * 3, use_bias=True,
+                              kernel_init=_trunc_normal_init(), name="proj",
+                              folded_depth=cur_d, **dd)(x)
         return nn.Conv(self.out_channels, (1, 1, 1), use_bias=True,
                        kernel_init=_trunc_normal_init(), name="proj", **dd)(x)
 

@@ -114,14 +114,14 @@ class SparK(nn.Module):
             "dense_decoder.width": self.dense_decoder.width,
         }
 
-    def _densify_norm(self, name: str, dd: dict):
+    def _densify_norm(self, name: str, dd: dict, folded_depth=None):
         kind = self.densify_norm.lower()
         if kind == "bn":
-            return SparseBatchNorm(name=name, **dd)
+            return SparseBatchNorm(name=name, folded_depth=folded_depth, **dd)
         if kind == "ln":
-            return SparseLayerNorm(name=name, **dd)
+            return SparseLayerNorm(name=name, folded_depth=folded_depth, **dd)
         if kind == "in":
-            return SparseInstanceNorm(name=name, **dd)
+            return SparseInstanceNorm(name=name, folded_depth=folded_depth, **dd)
         return None  # identity
 
     @nn.compact
@@ -134,12 +134,21 @@ class SparK(nn.Module):
             active = self.mask(rng, inp.shape[0])
         r = self.downsample_ratio_per_axis
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        from anatomask_tpu.models.layers import _folded_enabled
+        folded = (_folded_enabled()
+                  and getattr(self.sparse_encoder, "folded_feats", False))
+        batch = inp.shape[0]
 
         active_full = upsample_mask(active, r)
         masked_inp = inp * active_full.astype(inp.dtype)
 
+        # folded: feats come back as (B*D_i, H_i, W_i, C_i) and the densify +
+        # decoder chain stays in the 2D conv emitter's folded layout end to
+        # end; only the transposed convs unfold internally.
         feats = self.sparse_encoder(masked_inp, active, hierarchical=True)
         feats = feats[::-1]  # smallest feature map first
+        depths = (self.sparse_encoder.feat_depths(inp.shape[1])[::-1]
+                  if folded else [None] * len(feats))
 
         e_widths = self.sparse_encoder.get_feature_map_channels()[::-1]
         d_width = self.dense_decoder.width
@@ -148,7 +157,8 @@ class SparK(nn.Module):
         strides = self.sparse_encoder._strides()[::-1]
         for i, bcff in enumerate(feats):
             e_width = e_widths[i]
-            norm = self._densify_norm(f"densify_norm{i}", dd)
+            d_i = depths[i]
+            norm = self._densify_norm(f"densify_norm{i}", dd, folded_depth=d_i)
             if norm is not None:
                 bcff = norm(bcff, cur_active)
             token = self.param(
@@ -156,25 +166,32 @@ class SparK(nn.Module):
                 nn.initializers.truncated_normal(stddev=0.02, lower=-1.0, upper=1.0),
                 (e_width,), self.param_dtype,
             )
-            m = cur_active
             # masks at this feature's resolution
-            factors = [bcff.shape[ax + 1] // m.shape[ax + 1] for ax in range(3)]
-            m_here = upsample_mask(m, factors)
+            if folded:
+                from anatomask_tpu.ssl.sparse import mask_to_folded
+                m_here = mask_to_folded(cur_active, d_i, bcff.shape[1:3])
+            else:
+                m = cur_active
+                factors = [bcff.shape[ax + 1] // m.shape[ax + 1] for ax in range(3)]
+                m_here = upsample_mask(m, factors)
             bcff = jnp.where(m_here, bcff, token.astype(bcff.dtype))
             ksz = 1 if i == 0 else 3
             if not (i == 0 and e_width == d_width):
                 pad = tuple((ksz // 2, ksz // 2) for _ in range(3))
                 bcff = ConvND(d_width, (ksz,) * 3, padding=pad,
-                              name=f"densify_proj{i}", **dd)(bcff)
+                              name=f"densify_proj{i}", folded_depth=d_i, **dd)(bcff)
             to_dec.append(bcff)
             # dilate the mask to the next (2x larger) feature resolution
             up = strides[i] if i < len(strides) else (2, 2, 2)
             cur_active = upsample_mask(cur_active, tuple(int(s) for s in up))
             d_width //= 2
 
-        rec = self.dense_decoder(to_dec)
+        rec = (self.dense_decoder(to_dec, folded_depth=depths[0]) if folded
+               else self.dense_decoder(to_dec))
+        if folded:
+            rec = rec.reshape(batch, rec.shape[0] // batch, *rec.shape[1:])
         if return_feat:
-            flat = to_dec[0].reshape(to_dec[0].shape[0], -1, to_dec[0].shape[-1])
+            flat = to_dec[0].reshape(batch, -1, to_dec[0].shape[-1])
             return patchify(inp, self.fmap, r), patchify(rec, self.fmap, r), flat
         return patchify(inp, self.fmap, r), patchify(rec, self.fmap, r)
 

@@ -53,6 +53,32 @@ def mask_to_resolution(mask: jnp.ndarray, spatial_shape: Sequence[int]) -> jnp.n
     return upsample_mask(mask, factors)
 
 
+def mask_to_folded(mask: jnp.ndarray, depth: int, hw: Sequence[int]) -> jnp.ndarray:
+    """Dilate the feature-grid mask to (depth, *hw) and fold: (B*depth, h, w, 1)."""
+    m = mask_to_resolution(mask, (depth, *hw))
+    return m.reshape(m.shape[0] * depth, *m.shape[2:])
+
+
+def _masked_moments_folded(x: jnp.ndarray, m: jnp.ndarray, depth: int):
+    """Per-sample masked mean/var of a FOLDED (B*D, H, W, C) activation:
+    per-row fp32 sums, then a (B, D) collapse of the small row-moment tensors
+    (same sums as _masked_moments, different association). Returns
+    (mean, var) broadcastable against x: shape (B*D, 1, 1, C)."""
+    c = x.shape[-1]
+    b = x.shape[0] // depth
+    mx = m.astype(x.dtype)
+    cnt_r = jnp.sum(m, (1, 2), dtype=jnp.float32)                    # (B*D, 1)
+    s_r = jnp.sum(x * mx, (1, 2), dtype=jnp.float32)                 # (B*D, C)
+    ss_r = jnp.sum(jnp.square(x) * mx, (1, 2), dtype=jnp.float32)
+    cnt = jnp.maximum(cnt_r.reshape(b, depth).sum(1), 1.0)[:, None]  # (B, 1)
+    mean = s_r.reshape(b, depth, c).sum(1) / cnt                     # (B, C)
+    mean_sq = ss_r.reshape(b, depth, c).sum(1) / cnt
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    mean = jnp.repeat(mean, depth, axis=0)[:, None, None, :]
+    var = jnp.repeat(var, depth, axis=0)[:, None, None, :]
+    return mean, var
+
+
 def _masked_moments(x: jnp.ndarray, m: jnp.ndarray, axes) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Mean/var over `axes` restricted to m==1. fp32 REDUCTIONS only — the
     (potentially bf16) activation is never copied to fp32."""
@@ -66,16 +92,23 @@ def _masked_moments(x: jnp.ndarray, m: jnp.ndarray, axes) -> Tuple[jnp.ndarray, 
 
 class SparseInstanceNorm(nn.Module):
     """Active-voxel-only InstanceNorm (reference SparseInstanceNorm :138 —
-    per-sample per-channel stats over active voxels, affine, zeros outside)."""
+    per-sample per-channel stats over active voxels, affine, zeros outside).
+    folded_depth=D: x is folded (B*D, H, W, C); stats via the folded
+    row-moment collapse (the activation never leaves the conv layout)."""
     epsilon: float = 1e-5
     affine: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x, active):
-        m = mask_to_resolution(active, x.shape[1:4])
-        mean, var = _masked_moments(x, m, axes=(1, 2, 3))
+        if self.folded_depth is not None:
+            m = mask_to_folded(active, self.folded_depth, x.shape[1:3])
+            mean, var = _masked_moments_folded(x, m, self.folded_depth)
+        else:
+            m = mask_to_resolution(active, x.shape[1:4])
+            mean, var = _masked_moments(x, m, axes=(1, 2, 3))
         a = jax.lax.rsqrt(var + self.epsilon)
         b = -mean * a
         if self.affine:
@@ -104,13 +137,19 @@ class SparseBatchNorm(nn.Module):
     use_running_average: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x, active, use_running_average: Optional[bool] = None):
         ura = (self.use_running_average if use_running_average is None
                else use_running_average)
         c = x.shape[-1]
-        m = mask_to_resolution(active, x.shape[1:4])
+        if self.folded_depth is not None:
+            # batch+spatial masked stats are layout-independent: fold the mask
+            # and reduce over the folded axes (0, 1, 2)
+            m = mask_to_folded(active, self.folded_depth, x.shape[1:3])
+        else:
+            m = mask_to_resolution(active, x.shape[1:4])
         if ura and not self.track_running_stats:
             raise ValueError(
                 "SparseBatchNorm(use_running_average=True) requires "
@@ -122,10 +161,11 @@ class SparseBatchNorm(nn.Module):
             ra_var = self.variable("batch_stats", "var",
                                    lambda: jnp.ones((c,), jnp.float32))
         if ura:
-            mean = ra_mean.value.reshape(1, 1, 1, 1, c)
-            var = ra_var.value.reshape(1, 1, 1, 1, c)
+            bshape = (1,) * (x.ndim - 1) + (c,)
+            mean = ra_mean.value.reshape(bshape)
+            var = ra_var.value.reshape(bshape)
         else:
-            mean, var = _masked_moments(x, m, axes=(0, 1, 2, 3))
+            mean, var = _masked_moments(x, m, axes=tuple(range(x.ndim - 1)))
             if (self.track_running_stats and not self.is_initializing()
                     and self.is_mutable_collection("batch_stats")):
                 mom = self.momentum
@@ -168,14 +208,21 @@ class SparseGroupNorm(nn.Module):
 
 class SparseLayerNorm(nn.Module):
     """Active-voxel channelwise LayerNorm (reference SparseConvNeXtLayerNorm :181):
-    per-voxel stats over channels, computed only at active voxels."""
+    per-voxel stats over channels, computed only at active voxels.
+    folded_depth=D: x is folded (B*D, H, W, C) — the per-voxel channel stats
+    are layout-independent; only the mask needs folding."""
     epsilon: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x, active):
-        m = mask_to_resolution(active, x.shape[1:4]).astype(jnp.float32)
+        if self.folded_depth is not None:
+            m = mask_to_folded(active, self.folded_depth,
+                               x.shape[1:3]).astype(jnp.float32)
+        else:
+            m = mask_to_resolution(active, x.shape[1:4]).astype(jnp.float32)
         xf = x.astype(jnp.float32)
         mean = xf.mean(-1, keepdims=True)
         var = xf.var(-1, keepdims=True)
@@ -311,10 +358,15 @@ class SparseBasicResBlock(nn.Module):
     use_1x1conv: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x, active):
+        from anatomask_tpu.models.stunet import folded_out_depth
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        d_in = self.folded_depth
+        d_out = (folded_out_depth(d_in, self.kernel_size[0], self.strides[0])
+                 if d_in is not None else None)
         # Masking invariant: the block INPUT is zero outside active, and the
         # block OUTPUT must be too (the next conv would smear otherwise). The
         # masked-moment norms already (a) weight their statistics by the mask
@@ -323,15 +375,22 @@ class SparseBasicResBlock(nn.Module):
         # outside never influence stats and get zeroed by the norm. Only the
         # residual branch and the final sum need explicit masking. Exactly
         # equal, three fewer full-resolution passes per block.
-        y = ConvND(self.features, self.kernel_size, self.strides, name="conv1", **dd)(x)
-        m_out = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
-        y = nn.leaky_relu(SparseInstanceNorm(name="norm1", **dd)(y, active))
-        y = ConvND(self.features, self.kernel_size, name="conv2", **dd)(y)
-        y = SparseInstanceNorm(name="norm2", **dd)(y, active)
+        y = ConvND(self.features, self.kernel_size, self.strides, name="conv1",
+                   folded_depth=d_in, **dd)(x)
+        if d_in is not None:
+            m_out = mask_to_folded(active, d_out, y.shape[1:3]).astype(y.dtype)
+        else:
+            m_out = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
+        y = nn.leaky_relu(SparseInstanceNorm(name="norm1", folded_depth=d_out,
+                                             **dd)(y, active))
+        y = ConvND(self.features, self.kernel_size, name="conv2",
+                   folded_depth=d_out, **dd)(y)
+        y = SparseInstanceNorm(name="norm2", folded_depth=d_out, **dd)(y, active)
         if self.use_1x1conv:
             ones = (1,) * len(self.kernel_size)
             x = ConvND(self.features, ones, self.strides,
-                       padding=tuple((0, 0) for _ in ones), name="conv3", **dd)(x) * m_out
+                       padding=tuple((0, 0) for _ in ones), name="conv3",
+                       folded_depth=d_in, **dd)(x) * m_out
         return nn.leaky_relu(y + x)
 
 
@@ -342,15 +401,22 @@ class _SparseResStage(nn.Module):
     strides: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    folded_depth: int = None
 
     @nn.compact
     def __call__(self, x, active):
+        from anatomask_tpu.models.stunet import folded_out_depth
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        d_in = self.folded_depth
+        d_out = (folded_out_depth(d_in, self.kernel_size[0], self.strides[0])
+                 if d_in is not None else None)
         x = SparseBasicResBlock(self.features, self.kernel_size, self.strides,
-                                use_1x1conv=True, name="block0", **dd)(x, active)
+                                use_1x1conv=True, name="block0",
+                                folded_depth=d_in, **dd)(x, active)
         for b in range(1, self.depth):
             x = SparseBasicResBlock(self.features, self.kernel_size,
-                                    name=f"block{b}", **dd)(x, active)
+                                    name=f"block{b}", folded_depth=d_out,
+                                    **dd)(x, active)
         return x
 
 
@@ -366,6 +432,10 @@ class SparseSTUNetEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # True: accept/return FOLDED (B*D_i, H_i, W_i, C_i) features when
+    # ATK_FOLDED is on (the SparK caller threads depths statically); False:
+    # 5D in/out regardless (direct users), folding only inside stages.
+    folded_feats: bool = False
 
     def _strides(self):
         if self.pool_op_kernel_sizes is not None:
@@ -388,12 +458,37 @@ class SparseSTUNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, active, hierarchical: bool = True):
+        from anatomask_tpu.models.layers import _folded_enabled
+        from anatomask_tpu.models.stunet import folded_out_depth
         strides, kernels = self._strides(), self._kernels()
         Stage = nn.remat(_SparseResStage) if self.remat else _SparseResStage
+        folded = _folded_enabled()
+        cur_d = None
+        batch = x.shape[0]
+        if folded:
+            cur_d = x.shape[1]
+            x = x.reshape(batch * cur_d, *x.shape[2:])
         feats = []
         for d, (f, dep) in enumerate(zip(self.dims, self.depth)):
             x = Stage(f, dep, kernels[d], strides[d], dtype=self.dtype,
-                      param_dtype=self.param_dtype,
+                      param_dtype=self.param_dtype, folded_depth=cur_d,
                       name=f"conv_blocks_context_{d}")(x, active)
-            feats.append(x)
-        return feats if hierarchical else x
+            if folded:
+                cur_d = folded_out_depth(cur_d, kernels[d][0], strides[d][0])
+            if folded and not self.folded_feats:
+                feats.append(x.reshape(batch, cur_d, *x.shape[1:]))
+            else:
+                feats.append(x)
+        if not hierarchical:
+            return feats[-1]
+        return feats
+
+    def feat_depths(self, input_depth: int) -> List[int]:
+        """Static z extents of the hierarchical features for a given input z."""
+        from anatomask_tpu.models.stunet import folded_out_depth
+        ds = []
+        d = input_depth
+        for k, s in zip(self._kernels(), self._strides()):
+            d = folded_out_depth(d, k[0], s[0])
+            ds.append(d)
+        return ds

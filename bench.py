@@ -37,11 +37,11 @@ BATCH = 4
 PATCH = (112, 112, 128)
 WARMUP_STEPS = 3
 MEASURE_STEPS = 10
-# experiment knobs (defaults are the shipped configuration: lax.scan-sequenced
-# 2-microbatch accumulation WITHOUT remat — the scan bounds live activations to
-# one microbatch so the full workload fits 16G HBM with no recompute; measured
-# 5.14 patches/s vs 4.20 remat+unrolled, PLAN.md round-2 table)
-MICRO_ENV = int(os.environ.get("ATK_BENCH_MICRO", "2"))
+# experiment knobs (defaults are the shipped configuration: with whole-stage
+# folded execution (ATK_FOLDED=1, round 3) the full bs-4 workload fits 16G HBM
+# with NO microbatching and NO remat — measured 6.92 patches/s vs 6.41 at
+# MICRO=2/scan and 5.75 pre-folding; PLAN.md)
+MICRO_ENV = int(os.environ.get("ATK_BENCH_MICRO", "1"))
 REMAT_ENV = os.environ.get("ATK_BENCH_REMAT", "0") == "1"
 SCAN_ENV = os.environ.get("ATK_BENCH_SCAN", "1") == "1"
 

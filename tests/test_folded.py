@@ -1,0 +1,116 @@
+"""Whole-stage folded execution (ATK_FOLDED): models thread (B*D, H, W, C)
+tensors through z-stride-1 stages so the 2D conv emitter's layout persists
+between convs (round-3 perf work, PLAN.md). These tests pin exactness:
+folded and unfolded traces must agree to fp32 reduction-reassociation
+tolerance, with IDENTICAL parameter trees."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def _with_folded(monkeypatch, value):
+    monkeypatch.setenv("ATK_FOLDED", value)
+
+
+def _tree_allclose(a, b, rtol, atol):
+    la = jax.tree_util.tree_leaves(a)
+    lb = jax.tree_util.tree_leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("shape,strides", [
+    ((2, 8, 12, 16, 3), None),          # isotropic default pools
+])
+def test_stunet_folded_equals_unfolded(monkeypatch, shape, strides):
+    from anatomask_tpu.models.stunet import STUNet
+    model = STUNet(input_channels=shape[-1], num_classes=3,
+                   depth=(1, 1, 1), dims=(8, 16, 32),
+                   pool_op_kernel_sizes=[(2, 2, 2), (2, 2, 2)],
+                   conv_kernel_sizes=[(3, 3, 3)] * 3)
+    x = jnp.asarray(np.random.RandomState(0).rand(*shape), jnp.float32)
+
+    _with_folded(monkeypatch, "0")
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = model.apply({"params": params}, x)
+    _with_folded(monkeypatch, "1")
+    # identical param tree (names + shapes) in folded mode
+    params_f = model.init(jax.random.PRNGKey(0), x)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    got = model.apply({"params": params}, x)
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_spark_folded_equals_unfolded(monkeypatch):
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model
+    from anatomask_tpu.ssl.spark import spark_loss
+    cfg = PretrainConfig(method="spark", model_size="S",
+                         patch_size=(16, 16, 16), batch_size=2,
+                         mask_ratio=0.6, compute_dtype="float32",
+                         encoder_dims=(4, 8, 16, 32), encoder_depth=(1, 1, 1, 1))
+    model = build_spark_model(cfg, in_channels=1)
+    rng = jax.random.PRNGKey(1)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 16, 1), jnp.float32)
+    mask = model.mask(jax.random.PRNGKey(2), 2)
+
+    def loss_fn(p):
+        inp, rec = model.apply({"params": p}, x, mask)
+        return spark_loss(inp, rec, mask)[0]
+
+    _with_folded(monkeypatch, "0")
+    params = model.init(rng, x, mask)["params"]
+    ref_out = model.apply({"params": params}, x, mask)
+    ref_loss, ref_grad = jax.value_and_grad(loss_fn)(params)
+
+    _with_folded(monkeypatch, "1")
+    params_f = model.init(rng, x, mask)["params"]
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_f))
+    got_out = model.apply({"params": params}, x, mask)
+    got_loss, got_grad = jax.value_and_grad(loss_fn)(params)
+
+    for g, r in zip(got_out, ref_out):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    _tree_allclose(got_grad, ref_grad, rtol=5e-3, atol=1e-4)
+
+
+def test_folded_conv_matches_5d_lowering():
+    """conv3d_zconcat_folded on a folded tensor == conv3d_zconcat on 5D."""
+    from anatomask_tpu.ops.conv_lowering import (conv3d_zconcat,
+                                                 conv3d_zconcat_folded)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 6, 8, 9, 4), jnp.float32)
+    k = jnp.asarray(rng.rand(3, 3, 3, 4, 5), jnp.float32)
+    pad = ((1, 1), (1, 1), (1, 1))
+    ref = conv3d_zconcat(x, k, (1, 1, 1), pad)
+    got = conv3d_zconcat_folded(x.reshape(12, 8, 9, 4), 6, k, (1, 1, 1), pad)
+    np.testing.assert_allclose(np.asarray(got).reshape(ref.shape),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_sparse_encoder_5d_contract_when_not_folded_feats(monkeypatch):
+    """Direct SparseSTUNetEncoder users (folded_feats=False) still get 5D
+    feature maps even when ATK_FOLDED is on."""
+    from anatomask_tpu.ssl.sparse import SparseSTUNetEncoder
+    from anatomask_tpu.ssl.spark import random_keep_mask as rkm
+    _with_folded(monkeypatch, "1")
+    enc = SparseSTUNetEncoder(depth=(1, 1), dims=(4, 8))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 8, 8, 1), jnp.float32)
+    mask = rkm(jax.random.PRNGKey(0), 2, (4, 4, 4), 20)
+    params = enc.init(jax.random.PRNGKey(1), x, mask)["params"]
+    feats = enc.apply({"params": params}, x, mask)
+    assert feats[0].shape == (2, 8, 8, 8, 4)
+    assert feats[1].shape == (2, 4, 4, 4, 8)
