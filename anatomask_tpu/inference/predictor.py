@@ -46,7 +46,9 @@ def _preprocess_case_worker(plans_dict, configuration_name, dataset_json,
                                              output_dtype=data_pp.dtype)
         data_pp = np.vstack([data_pp, onehot])
     return data_pp, props
-from anatomask_tpu.inference.sliding_window import make_tile_predictor, sliding_window_predict
+from anatomask_tpu.inference.sliding_window import (
+    make_tile_predictor, sliding_window_predict,
+    sliding_window_predict_device_resident)
 from anatomask_tpu.models.build import build_network_from_plans
 from anatomask_tpu.plans.label_handling import determine_num_input_channels
 from anatomask_tpu.plans.plans_handler import PlansManager, load_json
@@ -164,17 +166,46 @@ class Predictor:
         return self._tile_fns[key]
 
     # --- prediction -----------------------------------------------------------
+    @staticmethod
+    def _fits_device_resident(data: np.ndarray, num_out: int,
+                              budget_bytes: Optional[int] = None) -> bool:
+        """Whole-volume device-resident sliding window needs volume + logits +
+        weights in HBM alongside the network. Budget default 4 GB
+        (ATK_SW_DEVICE_BUDGET_MB overrides; ATK_SW_DEVICE=0 disables)."""
+        if os.environ.get("ATK_SW_DEVICE", "1") != "1":
+            return False
+        if budget_bytes is None:
+            budget_bytes = int(os.environ.get("ATK_SW_DEVICE_BUDGET_MB",
+                                              "4096")) * 2 ** 20
+        vox = int(np.prod(data.shape[1:]))
+        need = 4 * (vox * data.shape[0] + vox * num_out + vox)
+        return need <= budget_bytes
+
     def predict_sliding_window_return_logits(self, data: np.ndarray) -> np.ndarray:
-        """data: (c, x, y, z) preprocessed. Fold-ensemble averaged logits."""
+        """data: (c, x, y, z) preprocessed. Fold-ensemble averaged logits.
+
+        Volumes that fit the HBM budget run fully device-resident (tiles
+        sliced + Gaussian-accumulated on device inside one jitted scan; host
+        traffic = volume in + logits out). Larger volumes stream tile batches
+        (device accumulation, host spill on OOM) as before."""
         num_out = self.label_manager.num_segmentation_heads
         tile_size = self.configuration_manager.patch_size
+        device_resident = self._fits_device_resident(data, num_out)
         logits = None
         for params in self.list_of_parameters:
-            pred = sliding_window_predict(
-                data, self._tile_fn_for(params), tile_size, num_out,
-                tile_step_size=self.tile_step_size, use_gaussian=self.use_gaussian,
-                tile_batch_size=self.tile_batch_size, verbose=self.verbose,
-            )
+            if device_resident:
+                pred = sliding_window_predict_device_resident(
+                    data, self._tile_fn_for(params), tile_size, num_out,
+                    tile_step_size=self.tile_step_size,
+                    use_gaussian=self.use_gaussian,
+                    tile_batch_size=self.tile_batch_size,
+                )
+            else:
+                pred = sliding_window_predict(
+                    data, self._tile_fn_for(params), tile_size, num_out,
+                    tile_step_size=self.tile_step_size, use_gaussian=self.use_gaussian,
+                    tile_batch_size=self.tile_batch_size, verbose=self.verbose,
+                )
             logits = pred if logits is None else logits + pred
         return logits / len(self.list_of_parameters)
 

@@ -214,6 +214,109 @@ def sliding_window_predict(
     return logits[(slice(None), *slicer_to_undo[1:])]
 
 
+@functools.lru_cache(maxsize=4)
+def _device_resident_runner(tile_fn_key, spatial: Tuple[int, ...],
+                            tile_size: Tuple[int, ...], in_channels: int,
+                            num_output_channels: int, tile_batch_size: int,
+                            n_batches: int):
+    """Builds the jitted whole-volume sliding-window program: tiles are
+    dynamic-sliced out of the HBM-resident padded volume, predicted, and
+    Gaussian-accumulated, all inside one lax.scan — ZERO per-tile host
+    traffic and one dispatch per volume (vs one H2D + one dispatch per tile
+    batch in the streaming path). tile_fn_key is (tile_fn, ) wrapped for
+    hashing by the caller."""
+    tile_fn = tile_fn_key[0]
+    tx, ty, tz = tile_size
+
+    def run(vol, origins, valid, gauss):
+        # vol (X, Y, Z, C); origins (n_batches, B, 3) int32; valid same-shape
+        # leading dims float32 (0 for padded duplicate tiles); gauss tile_size
+        logits0 = jnp.zeros((*spatial, num_output_channels), jnp.float32)
+        weights0 = jnp.zeros(spatial, jnp.float32)
+
+        def body(carry, inp):
+            logits, weights = carry
+            obatch, vbatch = inp
+
+            def get_tile(o):
+                return jax.lax.dynamic_slice(
+                    vol, (o[0], o[1], o[2], 0), (tx, ty, tz, in_channels))
+
+            tiles = jax.vmap(get_tile)(obatch)
+            preds = tile_fn(tiles).astype(jnp.float32)
+
+            def acc_one(carry, inp2):
+                logits, weights = carry
+                pred, o, v = inp2
+                g = gauss * v
+                region = jax.lax.dynamic_slice(
+                    logits, (o[0], o[1], o[2], 0),
+                    (tx, ty, tz, num_output_channels))
+                region = region + pred * g[..., None]
+                logits = jax.lax.dynamic_update_slice(
+                    logits, region, (o[0], o[1], o[2], 0))
+                wreg = jax.lax.dynamic_slice(weights, (o[0], o[1], o[2]),
+                                             (tx, ty, tz))
+                weights = jax.lax.dynamic_update_slice(
+                    weights, wreg + g, (o[0], o[1], o[2]))
+                return (logits, weights), None
+
+            (logits, weights), _ = jax.lax.scan(
+                acc_one, (logits, weights), (preds, obatch, vbatch))
+            return (logits, weights), None
+
+        (logits, weights), _ = jax.lax.scan(body, (logits0, weights0),
+                                            (origins, valid))
+        return logits / weights[..., None]
+
+    return jax.jit(run)
+
+
+def sliding_window_predict_device_resident(
+    data: np.ndarray,
+    tile_fn: Callable,
+    tile_size: Sequence[int],
+    num_output_channels: int,
+    tile_step_size: float = 0.5,
+    use_gaussian: bool = True,
+    tile_batch_size: int = 4,
+) -> np.ndarray:
+    """Whole-volume device-resident sliding window: data crosses the host link
+    exactly twice (volume in, logits out). data (c, x, y, z) float32 ->
+    (num_output_channels, x, y, z) float32. Same tile placement / Gaussian /
+    normalization math as sliding_window_predict. The caller is responsible
+    for gating on volume size (see Predictor._fits_device_resident)."""
+    assert data.ndim == 4
+    tile_size = tuple(int(t) for t in tile_size)
+    data_padded, slicer_to_undo = pad_nd_image(data, tile_size)
+    spatial = data_padded.shape[1:]
+    steps = compute_steps_for_sliding_window(spatial, tile_size, tile_step_size)
+    origins = list(itertools.product(*steps))
+
+    n_valid = len(origins)
+    pad_to = -(-n_valid // tile_batch_size) * tile_batch_size
+    valid = np.ones(pad_to, np.float32)
+    valid[n_valid:] = 0.0  # padded duplicates contribute zero weight
+    origins = origins + [origins[-1]] * (pad_to - n_valid)
+    n_batches = pad_to // tile_batch_size
+
+    gaussian = (compute_gaussian(tile_size, value_scaling_factor=1000.0)
+                if use_gaussian else np.ones(tile_size, dtype=np.float32))
+
+    run = _device_resident_runner(
+        (tile_fn,), tuple(int(s) for s in spatial), tile_size,
+        int(data_padded.shape[0]), int(num_output_channels),
+        int(tile_batch_size), int(n_batches))
+    vol = jnp.asarray(np.moveaxis(data_padded, 0, -1))  # (X, Y, Z, C)
+    origins_dev = jnp.asarray(
+        np.asarray(origins, np.int32).reshape(n_batches, tile_batch_size, 3))
+    valid_dev = jnp.asarray(valid.reshape(n_batches, tile_batch_size))
+    out = np.asarray(run(vol, origins_dev, valid_dev, jnp.asarray(gaussian)),
+                     dtype=np.float32)
+    out = np.moveaxis(out, -1, 0)
+    return out[(slice(None), *slicer_to_undo[1:])]
+
+
 def _sliding_window_device_accum(
     data_padded, slicer_to_undo, spatial, origins, gaussian, jitted_tile_fn,
     tile_size, num_output_channels, tile_batch_size,

@@ -107,3 +107,23 @@ def test_device_and_host_accumulation_agree(rng):
     host = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
                                   accumulate_on_device=False)
     np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_device_resident_matches_streaming(rng):
+    """Whole-volume device-resident sliding window (one jitted scan, zero
+    per-tile host traffic) must reproduce the streaming path exactly,
+    including the padded-duplicate-tile zero-weighting."""
+    from anatomask_tpu.inference.sliding_window import (
+        sliding_window_predict_device_resident)
+    data = rng.rand(2, 20, 24, 18).astype(np.float32)
+
+    def tile_fn(x):
+        return jnp.concatenate([x[..., :1] * 0.5, x.sum(-1, keepdims=True) ** 2],
+                               axis=-1)
+
+    for tb in (1, 3):  # 3 does not divide the tile count -> padding exercised
+        got = sliding_window_predict_device_resident(
+            data, tile_fn, (16, 16, 16), 2, tile_batch_size=tb)
+        ref = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
+                                     accumulate_on_device=False)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
