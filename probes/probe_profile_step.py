@@ -99,8 +99,9 @@ def main():
     with gzip.open(sorted(files)[-1], "rt") as f:
         trace = json.load(f)
     events = trace.get("traceEvents", [])
-    # device-lane complete events: dur in us
+    # device-lane complete events: dur in us; leaf ops carry hlo_category
     per_op = defaultdict(float)
+    per_cat = defaultdict(float)
     total = 0.0
     pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
                  for e in events if e.get("name") == "process_name"}
@@ -111,12 +112,20 @@ def main():
         if "TPU" not in pname and "/device" not in pname.lower() and "xla" not in pname.lower():
             continue
         name = e.get("name", "?")
-        per_op[name] += e["dur"]
+        args = e.get("args", {}) or {}
+        cat = args.get("hlo_category", "")
+        if not cat:
+            continue  # keep only leaf ops (category-tagged); skip groupings
+        per_op[(name, cat)] += e["dur"]
+        per_cat[cat] += e["dur"]
         total += e["dur"]
-    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:60]
-    print(json.dumps({"total_us": total}), flush=True)
-    for name, us in top:
-        print(json.dumps({"op": name[:120], "ms": round(us / 1e3, 2),
+    print(json.dumps({"total_leaf_us": total}), flush=True)
+    for cat, us in sorted(per_cat.items(), key=lambda kv: -kv[1]):
+        print(json.dumps({"category": cat, "ms": round(us / 1e3, 2),
+                          "pct": round(100 * us / max(total, 1), 1)}), flush=True)
+    top = sorted(per_op.items(), key=lambda kv: -kv[1])[:40]
+    for (name, cat), us in top:
+        print(json.dumps({"op": name[:120], "cat": cat, "ms": round(us / 1e3, 2),
                           "pct": round(100 * us / max(total, 1), 1)}), flush=True)
 
 

@@ -1,0 +1,127 @@
+"""Weak-scaling regression baseline on the virtual CPU mesh (VERDICT r2 #7):
+the jitted AnatoMask train step must compile + execute at every mesh width
+with fixed per-device batch, produce identical losses for identical global
+inputs regardless of mesh width (GSPMD value-semantics), and the per-shard
+RNG/oversample partition must be deterministic. Wall-times are RECORDED to
+probes/weak_scaling_cpu.json as a baseline for the first real multi-chip
+session — virtual CPU devices share host cores, so near-linear scaling is
+asserted on real hardware only.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anatomask_tpu.parallel.mesh import compute_shard_batch_and_oversample
+
+
+def _step_for_mesh(mesh, model, optimizer, params_like):
+    from anatomask_tpu.ssl.spark import spark_loss
+    import optax
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+
+    def step(params, opt_state, rng, x):
+        active = model.mask(rng, x.shape[0])
+
+        def loss_fn(p):
+            inp, rec = model.apply({"params": p}, x, active)
+            return spark_loss(inp, rec, active)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    return jax.jit(step, in_shardings=(repl, repl, repl, bsh),
+                   out_shardings=(repl, repl, repl))
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_step_runs_at_every_mesh_width(n_dev, tmp_path):
+    import optax
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model
+
+    devs = jax.devices()[:n_dev]
+    if len(devs) < n_dev:
+        pytest.skip("needs 8 virtual devices")
+    per_dev_batch = 1
+    cfg = PretrainConfig(method="spark", model_size="S", patch_size=(16, 16, 16),
+                         batch_size=per_dev_batch * n_dev, mask_ratio=0.6,
+                         compute_dtype="float32", encoder_dims=(4, 8, 16, 32),
+                         encoder_depth=(1, 1, 1, 1))
+    model = build_spark_model(cfg, in_channels=1)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(rng, x0, model.mask(rng, 1))["params"]
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+
+    mesh = Mesh(np.array(devs), ("data",))
+    step = _step_for_mesh(mesh, model, optimizer, params)
+    x = jnp.asarray(np.random.RandomState(5).rand(
+        per_dev_batch * n_dev, 16, 16, 16, 1), jnp.float32)
+    params2, opt2, loss = step(params, opt_state, jax.random.PRNGKey(1), x)
+    t0 = time.perf_counter()
+    _, _, loss2 = step(params2, opt2, jax.random.PRNGKey(2), x)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+
+    # record the weak-scaling baseline table (merged across param runs)
+    path = os.path.join(os.path.dirname(__file__), "..", "probes",
+                        "weak_scaling_cpu.json")
+    table = {}
+    if os.path.isfile(path):
+        with open(path) as f:
+            table = json.load(f)
+    table[str(n_dev)] = {"per_device_batch": per_dev_batch,
+                         "step_seconds": round(dt, 4)}
+    with open(path, "w") as f:
+        json.dump(table, f, indent=1)
+
+
+def test_mesh_width_does_not_change_values():
+    """Same global batch, mesh 1 vs mesh 8: the jitted step's loss must agree
+    (GSPMD partitioning is value-transparent)."""
+    import optax
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    cfg = PretrainConfig(method="spark", model_size="S", patch_size=(16, 16, 16),
+                         batch_size=8, mask_ratio=0.6, compute_dtype="float32",
+                         encoder_dims=(4, 8, 16, 32), encoder_depth=(1, 1, 1, 1))
+    model = build_spark_model(cfg, in_channels=1)
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, 16, 16, 16, 1))
+    params = model.init(rng, x0, model.mask(rng, 1))["params"]
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+    x = jnp.asarray(np.random.RandomState(7).rand(8, 16, 16, 16, 1), jnp.float32)
+
+    losses = []
+    for n_dev in (1, 8):
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        step = _step_for_mesh(mesh, model, optimizer, params)
+        _, _, loss = step(params, opt_state, jax.random.PRNGKey(3), x)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=2e-5)
+
+
+def test_shard_partition_deterministic_across_widths():
+    """The per-rank (batch, oversample) partition is a pure function of
+    (global_batch, oversample, rank, world): repeated evaluation and
+    rank-permutation invariants hold — the regression contract for the
+    device-cache/sampler seeds on a real multi-chip pod."""
+    for world in (1, 2, 4, 8):
+        parts = [compute_shard_batch_and_oversample(8, 0.33, r, world)
+                 for r in range(world)]
+        parts2 = [compute_shard_batch_and_oversample(8, 0.33, r, world)
+                  for r in range(world)]
+        assert parts == parts2
+        assert sum(p[0] for p in parts) == 8
