@@ -415,6 +415,14 @@ def convert_challenge_entry(argv: Optional[List[str]] = None):
     sp = sub.add_parser("old_nnunet")
     sp.add_argument("input_folder")
     sp.add_argument("output_dataset_name")
+    sp = sub.add_parser("acdc")
+    sp.add_argument("input_folder")
+    sp.add_argument("-d", type=int, default=27)
+    sp = sub.add_parser("brats_regions")
+    sp.add_argument("input_folder")
+    sp.add_argument("-d", type=int, default=137)
+    sp.add_argument("--no_regions", action="store_true",
+                    help="plain 3-class labels instead of BraTS regions")
     a = p.parse_args(argv)
     from anatomask_tpu.dataset_conversion import convert_challenges as cc
     if a.task == "kits23":
@@ -438,6 +446,12 @@ def convert_challenge_entry(argv: Optional[List[str]] = None):
             cc.convert_mnms(a.input_folder, a.csv, a.d)
     elif a.task == "old_nnunet":
         cc.convert_old_nnunet_dataset(a.input_folder, a.output_dataset_name)
+    elif a.task == "acdc":
+        from anatomask_tpu.dataset_conversion.convert_acdc import convert_acdc_dataset
+        convert_acdc_dataset(a.input_folder, a.d)
+    elif a.task == "brats_regions":
+        from anatomask_tpu.dataset_conversion.convert_brats import convert_brats_dataset
+        convert_brats_dataset(a.input_folder, a.d, use_regions=not a.no_regions)
 
 
 def plot_overlay_pngs_entry(argv: Optional[List[str]] = None):
