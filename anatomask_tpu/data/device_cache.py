@@ -221,6 +221,15 @@ class DeviceCaseCache:
         ])
         return slots, origins.astype(np.int32)
 
+    def sample_chunk(self, n_steps: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Draw `n_steps` consecutive batches (same RNG stream as n_steps
+        sample_batch calls) -> (slots (K, B) int32, origins (K, B, 3) int32).
+        Used by the chunked scan training path: slot meta stays fixed within
+        a chunk (refills are only applied between chunks)."""
+        draws = [self.sample_batch() for _ in range(n_steps)]
+        return (np.stack([d[0] for d in draws]),
+                np.stack([d[1] for d in draws]))
+
     def extract(self, slots: np.ndarray, origins: np.ndarray) -> jnp.ndarray:
         """Device-side gather -> (B, *initial_patch, C)."""
         return _extract_patches(self.cache, jnp.asarray(slots),
@@ -228,14 +237,36 @@ class DeviceCaseCache:
                                 tuple(int(p) for p in self.initial_patch))
 
     # --- background refill ----------------------------------------------------
-    def start_refill(self):
+    def start_refill(self, steps_per_slot: Optional[int] = None):
+        """Begin background refills. `steps_per_slot` throttles turnover: one
+        slot replacement at most every that-many `maybe_refill` calls
+        (default: cache cycles once per `num_slots * 4` steps — each slot
+        lives ~4*num_slots steps). Refills must be RARE relative to steps:
+        a slot is tens of MB of H2D, and an unthrottled refill per step
+        saturates slow host links (measured on the dev tunnel: ~150 s/epoch
+        of fetch-wait at 8 slots / 100 steps)."""
         if self._refill_thread is not None:
             return
+        self._refill_every = max(1, int(steps_per_slot if steps_per_slot
+                                        is not None else 4))
+        self._steps_since_refill = 0
 
         def worker():
             while not self._stop.is_set():
                 try:
-                    item = self._prepare_slot_host()
+                    arr, meta = self._prepare_slot_host()
+                    # device transfer on the WORKER thread; cast on HOST
+                    # first (bf16 halves the bytes) so the H2D ships the
+                    # final dtype and overlaps the train steps
+                    import ml_dtypes
+                    host_dtype = (ml_dtypes.bfloat16
+                                  if self.dtype == jnp.bfloat16 else np.float32)
+                    dev = jax.device_put(arr.astype(host_dtype))
+                    if self.sharding is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec
+                        dev = jax.device_put(dev, NamedSharding(
+                            self.sharding.mesh, PartitionSpec()))
+                    item = (dev, meta)
                 except Exception as e:
                     self._refill_queue.put(e)
                     return
@@ -249,23 +280,24 @@ class DeviceCaseCache:
         self._refill_thread = threading.Thread(target=worker, daemon=True)
         self._refill_thread.start()
 
-    def maybe_refill(self) -> bool:
-        """Apply at most one staged slot refill (non-blocking). Returns True
-        if a slot was replaced."""
+    def maybe_refill(self, steps: int = 1) -> bool:
+        """Apply at most one staged slot refill, at most every
+        `steps_per_slot` train steps (non-blocking). `steps` is how many train
+        steps the caller ran since the last call (chunked training advances
+        several steps per call). Returns True if a slot was replaced."""
+        self._steps_since_refill = getattr(self, "_steps_since_refill", 0) + steps
+        if self._steps_since_refill < getattr(self, "_refill_every", 1):
+            return False
         try:
             item = self._refill_queue.get_nowait()
         except queue.Empty:
             return False
         if isinstance(item, Exception):
             raise RuntimeError("device-cache refill worker died") from item
-        arr, meta = item
+        dev, meta = item
+        self._steps_since_refill = 0
         idx = self._refill_cursor
         self._refill_cursor = (self._refill_cursor + 1) % self.num_slots
-        dev = jnp.asarray(arr, self.dtype)
-        if self.sharding is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
-            dev = jax.device_put(dev, NamedSharding(self.sharding.mesh,
-                                                    PartitionSpec()))
         self.cache = _write_slot(self.cache, jnp.int32(idx), dev)
         self.meta[idx] = meta
         return True

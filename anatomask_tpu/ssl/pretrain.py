@@ -294,7 +294,10 @@ class PretrainTrainer:
                 dtype=tdt or jnp.float32,
                 seed=self.cfg.seed + 77,
             )
-            self.device_cache.start_refill()
+            # turnover target: each slot refreshed about once per epoch
+            iters_hint = self.cfg.iters_per_epoch or 250
+            self.device_cache.start_refill(
+                steps_per_slot=max(1, iters_hint // self.device_cache.num_slots))
             self.print_to_log_file(
                 f"[device-cache] {self.device_cache.num_slots} slots of "
                 f"{self.device_cache.slot_shape} in HBM "
@@ -327,6 +330,18 @@ class PretrainTrainer:
 
         iters = cfg.iters_per_epoch or max(1, getattr(self, "n_train", 100) // cfg.batch_size)
         self.iters_per_epoch = iters
+        # chunked scan size (device-cache path): largest divisor of
+        # iters_per_epoch <= ATK_STEP_CHUNK (default 10); 1 disables
+        self._step_chunk = 1
+        if self.device_cache is not None:
+            target = int(os.environ.get("ATK_STEP_CHUNK", "10"))
+            for k in range(2, min(target, iters) + 1):
+                if iters % k == 0:
+                    self._step_chunk = k
+            if self._step_chunk > 1:
+                self.print_to_log_file(
+                    f"[chunked-scan] {self._step_chunk} train steps per "
+                    f"dispatch (extract+augment+step inside one jitted scan)")
         total_steps = cfg.num_epochs * iters
         self.lr_schedule = linear_warmup_cosine_schedule(
             cfg.lr, warmup_steps=cfg.warmup_epochs * iters, total_steps=total_steps,
@@ -462,6 +477,70 @@ class PretrainTrainer:
         self._val_step = jax.jit(val_step, in_shardings=(repl, repl, bsh),
                                  out_shardings=repl)
 
+        # chunked scan training (device-cache path): K steps of
+        # extract -> augment -> train inside ONE jitted dispatch. Per-iter
+        # dispatches through the remote tunnel cost ~30-50 ms each (3-4 per
+        # iter: rng split, extract, step); chunking removes them all. The
+        # host pre-draws the chunk's (slot, origin) pairs; slot refills are
+        # applied only between chunks so meta stays consistent within one.
+        if self.device_cache is not None:
+            from anatomask_tpu.data.device_cache import _extract_patches
+            ipatch = tuple(int(p) for p in self.device_cache.initial_patch)
+
+            # commit the cache (and future refills) to the mesh as replicated:
+            # without this a multi-device jit re-broadcasts the whole cache
+            # on every chunk dispatch
+            if self.device_cache.sharding is None:
+                self.device_cache.sharding = repl
+                self.device_cache.cache = jax.device_put(
+                    self.device_cache.cache, repl)
+
+            def _chunk_scan(step_core, state, rng, cache, slots, origins):
+                ks = jax.random.split(rng, slots.shape[0])
+
+                def body(st, inp):
+                    k_i, s_i, o_i = inp
+                    data = _extract_patches(cache, s_i, o_i, ipatch)
+                    data = jax.lax.with_sharding_constraint(data, bsh)
+                    out = step_core(*st, k_i, data)
+                    return out[:-1], out[-1]
+
+                st, losses = jax.lax.scan(body, state, (ks, slots, origins))
+                return (*st, losses)
+
+            def spark_chunk(params, opt_state, rng, cache, slots, origins):
+                return _chunk_scan(spark_step_core, (params, opt_state),
+                                   rng, cache, slots, origins)
+
+            def anatomask_chunk(params, ema_params, opt_state, rng, cache,
+                                slots, origins, ema_decay, len_loss):
+                def core(p, e, o, k, data):
+                    return anatomask_step(p, e, o, k, data, ema_decay,
+                                          len_loss)
+                return _chunk_scan(core, (params, ema_params, opt_state),
+                                   rng, cache, slots, origins)
+
+            def spark_step_core(p, o, k, data):
+                return spark_step(p, o, k, data)
+
+            cache_sh = (self.device_cache.sharding if
+                        self.device_cache.sharding is not None else repl)
+            if cfg.method == "spark":
+                self._spark_chunk = jax.jit(
+                    spark_chunk,
+                    in_shardings=(repl, repl, repl, cache_sh, repl, repl),
+                    out_shardings=(repl, repl, repl),
+                    donate_argnums=(0, 1),
+                )
+            else:
+                self._anatomask_chunk = jax.jit(
+                    anatomask_chunk,
+                    in_shardings=(repl, repl, repl, repl, cache_sh, repl,
+                                  repl, repl, repl),
+                    out_shardings=(repl, repl, repl, repl),
+                    donate_argnums=(0, 1, 2),
+                )
+
     # --- checkpointing --------------------------------------------------------
     def _snapshot_state(self) -> dict:
         """ONE host readback of the full training state (~850 MB for STUNet-B:
@@ -581,30 +660,57 @@ class PretrainTrainer:
 
                 losses = []
                 t_fetch = 0.0
-                for _ in range(self.iters_per_epoch):
-                    f0 = time.time()
-                    if self.device_cache is not None:
-                        # HBM-resident path: host draws (slot, origin) pairs;
-                        # the batch never crosses the host link. One staged
-                        # slot refill is applied between steps.
-                        self.device_cache.maybe_refill()
-                        slots, origins = self.device_cache.sample_batch()
-                        data = self.device_cache.extract(slots, origins)
-                    else:
-                        batch = next(train_iter)
-                        data = self._to_global(batch["data"])
-                    t_fetch += time.time() - f0
-                    rng, sub = jax.random.split(rng)
-                    if cfg.method == "spark":
-                        self.params, self.opt_state, loss = self._spark_step(
-                            self.params, self.opt_state, sub, data)
-                        self.ema_params = self.params
-                    else:
-                        self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
-                            self.params, self.ema_params, self.opt_state, sub, data,
-                            jnp.float32(ema_decay), jnp.int32(len_loss))
-                    self.step_counter += 1
-                    losses.append(loss)
+                if self.device_cache is not None and self._step_chunk > 1:
+                    # chunked scan path: ONE dispatch per K steps (see
+                    # _chunk_scan). Host draws the chunk's (slot, origin)
+                    # pairs; refills apply between chunks only.
+                    K = self._step_chunk
+                    for _ in range(self.iters_per_epoch // K):
+                        f0 = time.time()
+                        self.device_cache.maybe_refill(steps=K)
+                        slots, origins = self.device_cache.sample_chunk(K)
+                        t_fetch += time.time() - f0
+                        rng, sub = jax.random.split(rng)
+                        if cfg.method == "spark":
+                            self.params, self.opt_state, lv = self._spark_chunk(
+                                self.params, self.opt_state, sub,
+                                self.device_cache.cache, jnp.asarray(slots),
+                                jnp.asarray(origins))
+                            self.ema_params = self.params
+                        else:
+                            (self.params, self.ema_params, self.opt_state,
+                             lv) = self._anatomask_chunk(
+                                self.params, self.ema_params, self.opt_state,
+                                sub, self.device_cache.cache,
+                                jnp.asarray(slots), jnp.asarray(origins),
+                                jnp.float32(ema_decay), jnp.int32(len_loss))
+                        self.step_counter += K
+                        losses.append(lv)
+                else:
+                    for _ in range(self.iters_per_epoch):
+                        f0 = time.time()
+                        if self.device_cache is not None:
+                            # HBM-resident path: host draws (slot, origin)
+                            # pairs; the batch never crosses the host link.
+                            # One staged slot refill applied between steps.
+                            self.device_cache.maybe_refill()
+                            slots, origins = self.device_cache.sample_batch()
+                            data = self.device_cache.extract(slots, origins)
+                        else:
+                            batch = next(train_iter)
+                            data = self._to_global(batch["data"])
+                        t_fetch += time.time() - f0
+                        rng, sub = jax.random.split(rng)
+                        if cfg.method == "spark":
+                            self.params, self.opt_state, loss = self._spark_step(
+                                self.params, self.opt_state, sub, data)
+                            self.ema_params = self.params
+                        else:
+                            self.params, self.ema_params, self.opt_state, loss = self._anatomask_step(
+                                self.params, self.ema_params, self.opt_state, sub, data,
+                                jnp.float32(ema_decay), jnp.int32(len_loss))
+                        self.step_counter += 1
+                        losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(losses)))
                 t_train = time.time() - t0
                 if not np.isfinite(train_loss):

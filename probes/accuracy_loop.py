@@ -60,6 +60,10 @@ def pretrain():
         grad_accum_steps=int(os.environ.get("ACC_GRAD_ACCUM", "1")),
         num_workers=4, remat=os.environ.get("ACC_REMAT", "0") == "1",
         device_cache_mb=int(os.environ.get("ACC_CACHE_MB", "512")),
+        # the ~850 MB state snapshot is a D2H through the tunnel every save;
+        # amortize over several epochs for the long run (best-val saves are
+        # additional and unaffected)
+        save_every=int(os.environ.get("ACC_SAVE_EVERY", "5")),
     )
     t = PretrainTrainer("955", cfg)
     t0 = time.time()

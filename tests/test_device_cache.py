@@ -123,3 +123,32 @@ def test_refill_replaces_slot(cache):
     # metadata still coherent and extraction still works
     slots, origins = c.sample_batch()
     assert np.asarray(c.extract(slots, origins)).shape == (4, 8, 8, 8, 1)
+
+
+def test_sample_chunk_matches_batch_stream(cache):
+    """sample_chunk(K) must consume the same RNG stream as K sample_batch
+    calls (chunked training keeps the sampling distribution identical)."""
+    import copy
+    c, _ = cache
+    state = c.rng.get_state()
+    expect = [c.sample_batch() for _ in range(3)]
+    c.rng.set_state(state)
+    slots, origins = c.sample_chunk(3)
+    assert slots.shape == (3, 4) and origins.shape == (3, 4, 3)
+    for i, (es, eo) in enumerate(expect):
+        np.testing.assert_array_equal(slots[i], es)
+        np.testing.assert_array_equal(origins[i], eo)
+
+
+def test_refill_throttle_counts_chunk_steps(cache):
+    c, _ = cache
+    c.start_refill(steps_per_slot=8)
+    import time
+    deadline = time.time() + 10
+    # wait until a staged refill is available, counting in chunk units
+    applied = False
+    while time.time() < deadline and not applied:
+        applied = c.maybe_refill(steps=4)  # 2 calls >= 8 steps
+        time.sleep(0.05)
+    c.stop()
+    assert applied

@@ -188,3 +188,25 @@ def test_anatomask_pretraining_with_grad_accum(prepared):
     history = t.run_pretraining()
     assert t.grad_accum_steps == 2
     assert np.isfinite(history["train_loss"][0])
+
+
+def test_anatomask_chunked_scan_path(prepared, monkeypatch):
+    """The chunked-scan training path (device cache + ATK_STEP_CHUNK>1) runs
+    K steps per dispatch and produces finite losses; the per-iter fallback
+    (ATK_STEP_CHUNK=1) also still works."""
+    from anatomask_tpu.ssl.pretrain import PretrainTrainer
+    monkeypatch.setenv("ATK_STEP_CHUNK", "2")
+    t = PretrainTrainer("Dataset904_PT", _tiny_cfg("anatomask"))
+    history = t.run_pretraining()
+    assert t.device_cache is not None
+    assert t._step_chunk == 2
+    assert len(history["train_loss"]) == 2
+    assert all(np.isfinite(v) for v in history["train_loss"])
+    # step counter advanced by iters_per_epoch * epochs
+    assert t.step_counter == 4
+
+    monkeypatch.setenv("ATK_STEP_CHUNK", "1")
+    t2 = PretrainTrainer("Dataset904_PT", _tiny_cfg("anatomask"))
+    h2 = t2.run_pretraining()
+    assert t2._step_chunk == 1
+    assert all(np.isfinite(v) for v in h2["train_loss"])
