@@ -88,14 +88,23 @@ class ConvTranspose2x(nn.Module):
     def __call__(self, x):
         import os as _os
         from anatomask_tpu.ops.conv_lowering import _MIN_VOLUME
+        k, b = _ConvTParams(self.features, (4, 4, 4), self.param_dtype,
+                            name="conv")(x.shape[-1])
+        mode = _os.environ.get("ATK_CONVT421_LOWERING", "native")
+        if (self.folded_depth is not None and mode == "subpixel_folded"
+                and 8 * self.folded_depth * x.shape[1] * x.shape[2]
+                >= _MIN_VOLUME):
+            # folded sub-pixel: no 5D boundary, zero wasted MACs
+            # (ops/subpixel.py conv_transpose_4_2_1_folded)
+            from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1_folded
+            y = conv_transpose_4_2_1_folded(
+                x.astype(self.dtype), self.folded_depth, k.astype(self.dtype))
+            return y + b.astype(self.dtype)
         if self.folded_depth is not None:
             d = self.folded_depth
             x = x.reshape(x.shape[0] // d, d, *x.shape[1:])
         out_vol = 8 * x.shape[1] * x.shape[2] * x.shape[3]
-        k, b = _ConvTParams(self.features, (4, 4, 4), self.param_dtype,
-                            name="conv")(x.shape[-1])
-        if (_os.environ.get("ATK_CONVT421_LOWERING", "native") == "subpixel"
-                and out_vol >= _MIN_VOLUME):
+        if mode == "subpixel" and out_vol >= _MIN_VOLUME:
             from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1
             y = conv_transpose_4_2_1(x.astype(self.dtype), k.astype(self.dtype))
             y = y + b.astype(self.dtype)
