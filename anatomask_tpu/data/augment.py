@@ -22,6 +22,7 @@ emits the final patch directly (crop folded into the warp, one interpolation).
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from functools import partial
 from typing import List, Optional, Sequence, Tuple
@@ -203,9 +204,48 @@ def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
 
 
 def _trilinear_sample(vol, pos, cval):
-    """vol: (X, Y, Z); pos: (3, ox, oy, oz) absolute input coords."""
-    return jax.scipy.ndimage.map_coordinates(vol, [pos[0], pos[1], pos[2]],
-                                             order=1, mode="constant", cval=cval)
+    """vol: (X, Y, Z); pos: (3, ox, oy, oz) absolute input coords.
+
+    Default is the fused single-take form (all 8 corner taps of one x-slab
+    folded into ONE flattened gather, taps LEADING — same structure as
+    _cubic_sample): map_coordinates(order=1) lowers to 8 separate full-size
+    gathers that this toolchain executes poorly. ATK_TRILINEAR=scipy
+    reverts to the jax.scipy path (bit-identical results, tested)."""
+    import os as _os
+    if _os.environ.get("ATK_TRILINEAR", "fused") == "scipy":
+        return jax.scipy.ndimage.map_coordinates(vol, [pos[0], pos[1], pos[2]],
+                                                 order=1, mode="constant",
+                                                 cval=cval)
+    X, Y, Z = vol.shape
+    f0 = jnp.floor(pos)
+    t = pos - f0
+    base = f0.astype(jnp.int32)
+    offs = jnp.arange(2, dtype=jnp.int32)
+
+    def taps(b, n):
+        idx = b[..., None] + offs          # (..., 2)
+        ok = (idx >= 0) & (idx < n)
+        return jnp.clip(idx, 0, n - 1), ok
+
+    def wts(f):
+        return jnp.stack([1.0 - f, f], axis=-1)  # (..., 2)
+
+    xi, okx = taps(base[0], X)
+    yj, oky = taps(base[1], Y)
+    zk, okz = taps(base[2], Z)
+    lead = lambda a: jnp.moveaxis(a, -1, 0)  # tap dims LEADING (layout note
+    xi, okx, wx = lead(xi), lead(okx), lead(wts(t[0]))  # in _cubic_sample)
+    yj, oky, wy = lead(yj), lead(oky), lead(wts(t[1]))
+    zk, okz, wz = lead(zk), lead(okz), lead(wts(t[2]))
+    flat = vol.ravel()
+    acc = jnp.zeros(pos.shape[1:], vol.dtype)
+    for i in range(2):
+        idx4 = (xi[i][None, None] * Y + yj[:, None]) * Z + zk[None, :]
+        ok4 = okx[i][None, None] & oky[:, None] & okz[None, :]
+        vals = jnp.where(ok4, jnp.take(flat, idx4, axis=0), cval)
+        w4 = wy[:, None] * wz[None, :]
+        acc = acc + wx[i] * (vals * w4).sum((0, 1))
+    return acc
 
 
 # cubic B-spline prefilter pole (sqrt(3) - 2); the direct IIR filter
@@ -345,8 +385,12 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
         pos = jnp.einsum("ij,jxyz->ixyz", A_i, base) + center_in[:, None, None, None]
         if disp_i is not None:
             pos = pos + disp_i
+        # ATK_WARP_DTYPE=bf16 keeps the gathered volume in bf16 (halves the
+        # gather bytes; interpolation weights and accumulation stay f32)
+        wdt = (jnp.bfloat16 if os.environ.get("ATK_WARP_DTYPE") == "bf16"
+               else jnp.float32)
         d = jax.vmap(lambda c: data_sample(c, pos, 0.0), in_axes=-1, out_axes=-1)(
-            data_i.astype(jnp.float32))
+            data_i.astype(wdt))
         if seg_i is None:
             return d, 0.0
         s = jax.vmap(lambda c: seg_sample(c, pos), in_axes=-1, out_axes=-1)(

@@ -141,6 +141,33 @@ def block_conv3(blocks: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return y[:, :, : e - 2]  # z rows with all three taps valid
 
 
+def block_conv3_s2(blocks: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 VALID 3^3 conv on halo'd (B, K, e, e, e, C) blocks (e = bs+2)
+    -> (B, K, bs/2, bs/2, bs/2, F). Output voxel o reads input bs-coords
+    2o-1 .. 2o+1, i.e. halo'd coords 2o .. 2o+2 — exactly VALID stride 2 on
+    the halo'd block (stage-entry downsampling convs; one conv per stage, so
+    the native 3D emitter is fine here)."""
+    B, K, e = blocks.shape[0], blocks.shape[1], blocks.shape[2]
+    C = blocks.shape[-1]
+    x5 = blocks.reshape(B * K, e, e, e, C)
+    y = jax.lax.conv_general_dilated(
+        x5, kernel.astype(x5.dtype), (2, 2, 2), [(0, 0)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    return y.reshape(B, K, *y.shape[1:])
+
+
+def block_conv1x1(blocks: jnp.ndarray, kernel: jnp.ndarray,
+                  stride: int = 1) -> jnp.ndarray:
+    """1x1x1 conv (matmul) on (B, K, bs, bs, bs, C) blocks with optional
+    stride-2 voxel subsampling (residual projection convs). kernel
+    (1, 1, 1, C, F)."""
+    if stride == 2:
+        # torch k1 s2 picks voxels 0, 2, 4, ... (floor((bs-1)/2)+1 outputs)
+        blocks = blocks[:, :, ::2, ::2, ::2]
+    w = kernel.reshape(kernel.shape[-2], kernel.shape[-1]).astype(blocks.dtype)
+    return blocks @ w
+
+
 def block_moments(blocks: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-(sample, channel) (mean, var) over all block voxels — equal to the
     dense masked moments (blocks disjointly cover the active voxels)."""

@@ -124,8 +124,11 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
              else (depth_map[cfg.model_size.upper()],) * len(dims))
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     remat = cfg.remat or cfg.model_size.upper() == "H"
+    r = 2 ** (len(dims) - 1)
+    fmap = [int(p) // r for p in cfg.patch_size]
+    len_keep = round(int(np.prod(fmap)) * (1 - cfg.mask_ratio))
     enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat,
-                              folded_feats=True)
+                              folded_feats=True, len_keep=len_keep)
     dec_width = cfg.decoder_width or dims[-1]
     dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width, norm="in",
                        out_channels=in_channels, dtype=dtype, remat=remat)
@@ -696,6 +699,10 @@ class PretrainTrainer:
                             self.device_cache.maybe_refill()
                             slots, origins = self.device_cache.sample_batch()
                             data = self.device_cache.extract(slots, origins)
+                            # the cache is committed replicated (chunk-jit
+                            # plumbing); the per-iter step wants the batch
+                            # sharded -> local reslice, no data movement
+                            data = jax.device_put(data, self._bsh)
                         else:
                             batch = next(train_iter)
                             data = self._to_global(batch["data"])

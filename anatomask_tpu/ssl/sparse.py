@@ -394,6 +394,106 @@ class SparseBasicResBlock(nn.Module):
         return nn.leaky_relu(y + x)
 
 
+class _BlockConvInner(nn.Module):
+    """Parameter holder matching _ConvInner's tree ('kernel'/'bias')."""
+    features: int
+    kernel_size: Sequence[int]
+    param_dtype: jnp.dtype
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, cin):
+        from anatomask_tpu.models.layers import he_normal_leaky
+        k = self.param("kernel", he_normal_leaky(),
+                       (*self.kernel_size, cin, self.features),
+                       self.param_dtype)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        self.param_dtype) if self.use_bias else None)
+        return k, b
+
+
+class _BlockConv(nn.Module):
+    """Parameter tree identical to ConvND (child named 'conv'); the caller
+    applies the kernel with the block-layout conv helpers."""
+    features: int
+    kernel_size: Sequence[int]
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, cin):
+        return _BlockConvInner(self.features, tuple(self.kernel_size),
+                               self.param_dtype, name="conv")(cin)
+
+
+class _BlockNormParams(nn.Module):
+    """Parameter tree identical to SparseInstanceNorm ('scale'/'bias')."""
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, c):
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        return scale, bias
+
+
+def _block_instance_norm(blocks, scale, bias, dtype, eps=1e-5):
+    """SparseInstanceNorm on (B, K, bs, bs, bs, C) active blocks: the blocks
+    disjointly cover the active voxels, so interior moments == the dense
+    masked moments, and no re-mask is needed (every block voxel is active)."""
+    from anatomask_tpu.ops.block_sparse import block_moments
+    mean, var = block_moments(blocks)  # (B, C) fp32
+    a = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    b = bias.astype(jnp.float32) - mean * a
+    a = a[:, None, None, None, None, :].astype(dtype)
+    b = b[:, None, None, None, None, :].astype(dtype)
+    return blocks.astype(dtype) * a + b
+
+
+class BlockSparseResBlock(nn.Module):
+    """SparseBasicResBlock executed in active-block layout (param tree
+    IDENTICAL to SparseBasicResBlock / BasicResBlock, so dense-initialized
+    checkpoints apply unchanged). Input (B, K, bs, bs, bs, C); stride 2
+    halves the block size. Halos come from the neighbor table; inactive
+    neighbors contribute zeros — exactly the dense-masked computation
+    restricted to active blocks (tests/test_block_sparse.py)."""
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] = (1, 1, 1)
+    use_1x1conv: bool = False
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, nb_pos):
+        from anatomask_tpu.ops.block_sparse import (
+            block_conv1x1, block_conv3, block_conv3_s2, halo_exchange)
+        cin = x.shape[-1]
+        s = int(self.strides[0])
+        conv3 = block_conv3 if s == 1 else block_conv3_s2
+        k1, b1 = _BlockConv(self.features, self.kernel_size,
+                            self.param_dtype, name="conv1")(cin)
+        x = x.astype(self.dtype)
+        y = conv3(halo_exchange(x, nb_pos), k1.astype(self.dtype))
+        y = y + b1.astype(self.dtype)
+        sc1, bi1 = _BlockNormParams(self.param_dtype, name="norm1")(self.features)
+        y = nn.leaky_relu(_block_instance_norm(y, sc1, bi1, self.dtype))
+        k2, b2 = _BlockConv(self.features, self.kernel_size,
+                            self.param_dtype, name="conv2")(self.features)
+        y = block_conv3(halo_exchange(y, nb_pos), k2.astype(self.dtype))
+        y = y + b2.astype(self.dtype)
+        sc2, bi2 = _BlockNormParams(self.param_dtype, name="norm2")(self.features)
+        y = _block_instance_norm(y, sc2, bi2, self.dtype)
+        if self.use_1x1conv:
+            ones = (1,) * len(self.kernel_size)
+            k3, b3 = _BlockConv(self.features, ones, self.param_dtype,
+                                name="conv3")(cin)
+            x = block_conv1x1(x, k3.astype(self.dtype), stride=s)
+            x = x + b3.astype(self.dtype)
+        return nn.leaky_relu(y + x)
+
+
 class _SparseResStage(nn.Module):
     features: int
     depth: int
@@ -404,9 +504,18 @@ class _SparseResStage(nn.Module):
     folded_depth: int = None
 
     @nn.compact
-    def __call__(self, x, active):
+    def __call__(self, x, active, nb_pos=None):
         from anatomask_tpu.models.stunet import folded_out_depth
         dd = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        if nb_pos is not None:
+            # block-sparse execution: x is (B, K, bs, bs, bs, C)
+            x = BlockSparseResBlock(self.features, self.kernel_size,
+                                    self.strides, use_1x1conv=True,
+                                    name="block0", **dd)(x, nb_pos)
+            for b in range(1, self.depth):
+                x = BlockSparseResBlock(self.features, self.kernel_size,
+                                        name=f"block{b}", **dd)(x, nb_pos)
+            return x
         d_in = self.folded_depth
         d_out = (folded_out_depth(d_in, self.kernel_size[0], self.strides[0])
                  if d_in is not None else None)
@@ -436,6 +545,10 @@ class SparseSTUNetEncoder(nn.Module):
     # ATK_FOLDED is on (the SparK caller threads depths statically); False:
     # 5D in/out regardless (direct users), folding only inside stages.
     folded_feats: bool = False
+    # static keep-count of the mask (len_keep): enables block-sparse
+    # execution of the first ATK_BLOCK_SPARSE_STAGES stages when
+    # ATK_BLOCK_SPARSE=1 (ops/block_sparse.py; only active blocks computed)
+    len_keep: Optional[int] = None
 
     def _strides(self):
         if self.pool_op_kernel_sizes is not None:
@@ -456,6 +569,41 @@ class SparseSTUNetEncoder(nn.Module):
     def get_feature_map_channels(self) -> List[int]:
         return list(self.dims)
 
+    def _block_stage_count(self, x, active) -> int:
+        """How many leading stages can run block-sparse (0 = disabled):
+        requires ATK_BLOCK_SPARSE=1, a static keep-count, cubic blocks with
+        the grid dividing the input, stage-0 stride 1, stride-2 cubic
+        downsampling after, 3^3 kernels, and blocks that stay >= 4 voxels."""
+        import os
+        if (self.len_keep is None
+                or os.environ.get("ATK_BLOCK_SPARSE", "0") != "1"):
+            return 0
+        want = int(os.environ.get("ATK_BLOCK_SPARSE_STAGES", "2"))
+        strides, kernels = self._strides(), self._kernels()
+        g = tuple(int(v) for v in active.shape[1:4])
+        in_shape = tuple(int(v) for v in x.shape[1:4])
+        if any(s % gi for s, gi in zip(in_shape, g)):
+            return 0
+        bs = {s // gi for s, gi in zip(in_shape, g)}
+        if len(bs) != 1:
+            return 0
+        bs = bs.pop()
+        n = 0
+        for d in range(min(want, len(self.dims))):
+            if tuple(kernels[d]) != (3, 3, 3):
+                break
+            if d == 0:
+                if tuple(strides[d]) != (1, 1, 1):
+                    break
+            else:
+                if tuple(strides[d]) != (2, 2, 2) or bs % 2:
+                    break
+                bs //= 2
+            if bs < 4:
+                break
+            n = d + 1
+        return n
+
     @nn.compact
     def __call__(self, x, active, hierarchical: bool = True):
         from anatomask_tpu.models.layers import _folded_enabled
@@ -463,13 +611,40 @@ class SparseSTUNetEncoder(nn.Module):
         strides, kernels = self._strides(), self._kernels()
         Stage = nn.remat(_SparseResStage) if self.remat else _SparseResStage
         folded = _folded_enabled()
-        cur_d = None
         batch = x.shape[0]
+        feats = []
+
+        n_bs = self._block_stage_count(x, active)
+        if n_bs > 0:
+            from anatomask_tpu.ops.block_sparse import (
+                active_block_indices, block_gather, block_scatter,
+                neighbor_positions)
+            grid = tuple(int(v) for v in active.shape[1:4])
+            bs = int(x.shape[1]) // grid[0]
+            idx = active_block_indices(active, self.len_keep)
+            nb = neighbor_positions(idx, grid)
+            xb = block_gather(x, idx, grid, bs)
+            for d in range(n_bs):
+                xb = Stage(self.dims[d], self.depth[d], kernels[d],
+                           strides[d], dtype=self.dtype,
+                           param_dtype=self.param_dtype,
+                           name=f"conv_blocks_context_{d}")(xb, active, nb)
+                if d > 0 or tuple(strides[d]) != (1, 1, 1):
+                    bs //= 2
+                dense_d = block_scatter(xb, idx, grid, bs)
+                if folded and self.folded_feats:
+                    feats.append(dense_d.reshape(
+                        batch * dense_d.shape[1], *dense_d.shape[2:]))
+                else:
+                    feats.append(dense_d)
+            x = dense_d  # continue densely from the last block stage
+
+        cur_d = None
         if folded:
             cur_d = x.shape[1]
             x = x.reshape(batch * cur_d, *x.shape[2:])
-        feats = []
-        for d, (f, dep) in enumerate(zip(self.dims, self.depth)):
+        for d in range(n_bs, len(self.dims)):
+            f, dep = self.dims[d], self.depth[d]
             x = Stage(f, dep, kernels[d], strides[d], dtype=self.dtype,
                       param_dtype=self.param_dtype, folded_depth=cur_d,
                       name=f"conv_blocks_context_{d}")(x, active)

@@ -67,17 +67,29 @@ def pretrain():
     )
     t = PretrainTrainer("955", cfg)
     t0 = time.time()
-    history = t.run_pretraining()
+    history = t.run_pretraining(
+        continue_training=os.environ.get("ACC_RESUME", "0") == "1")
     wall = time.time() - t0
     # warm end-to-end epoch times (host pipeline included, no compile): parse
     # the per-epoch log lines
     import re
     times = []
+    # rebuild the FULL loss curve from the (append-mode, restart-surviving)
+    # log: in-memory history only covers the epochs since the last resume
+    by_epoch = {}
     with open(os.path.join(t.output_folder, "pretrain_log.txt")) as f:
         for line in f:
-            m = re.search(r"time ([\d.]+)s", line)
+            m = re.search(r"epoch (\d+): train ([\d.]+) val ([\d.]+).*"
+                          r"time ([\d.]+)s", line)
             if m:
-                times.append(float(m.group(1)))
+                e = int(m.group(1))
+                by_epoch[e] = (float(m.group(2)), float(m.group(3)))
+                times.append(float(m.group(4)))
+    if by_epoch:
+        es = sorted(by_epoch)
+        history = {"train_loss": [by_epoch[e][0] for e in es],
+                   "val_loss": [by_epoch[e][1] for e in es],
+                   "ema_loss": history.get("ema_loss", [])}
     warm = sorted(times[2:])[len(times[2:]) // 2] if len(times) > 3 else (times[-1] if times else None)
     out = os.path.join(t.output_folder, "checkpoint_final.npz")
     return history, out, wall, warm

@@ -65,12 +65,19 @@ def main():
     L = int(np.prod(model.fmap))
     len_loss = max(1, int((L - model.len_keep) * 0.25))
 
+    from anatomask_tpu.data.augment import AugmentConfig, IntensityAugmentConfig
     rot, dummy_2d, initial_patch, mirror_axes = \
         rotation_ranges_and_initial_patch_size(PATCH)
     initial_patch = tuple(int(v) for v in initial_patch)
-    aug_cfg = SpatialAugmentConfig(
-        patch_size=PATCH, rotation=rot, dummy_2d=dummy_2d,
-        mirror_axes=mirror_axes)
+    aug_cfg = AugmentConfig(
+        spatial=SpatialAugmentConfig(
+            patch_size=PATCH, rotation_x=tuple(rot["x"]),
+            rotation_y=tuple(rot["y"]), rotation_z=tuple(rot["z"]),
+            dummy_2d=dummy_2d),
+        intensity=IntensityAugmentConfig(
+            p_noise=0, p_blur=0, p_brightness=0, p_contrast=0, p_lowres=0,
+            p_gamma=0, p_gamma_invert=0),
+        mirror_axes=mirror_axes, ds_scales=())
     augment_fn = make_train_augment_fn(aug_cfg)
     print(json.dumps({"initial_patch": initial_patch}), flush=True)
 

@@ -28,7 +28,8 @@ def main():
     from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model, no_decay_mask
     from anatomask_tpu.ssl.spark import spark_loss
 
-    BATCH, PATCH, MICRO = 4, (112, 112, 128), 2
+    BATCH, PATCH = 4, (112, 112, 128)
+    MICRO = int(os.environ.get("PROBE_MICRO", "1"))  # bench default (PLAN.md)
     cfg = PretrainConfig(method="anatomask", model_size="B", patch_size=PATCH,
                          batch_size=BATCH, mask_ratio=0.6,
                          compute_dtype="bfloat16", remat=False)
@@ -58,18 +59,22 @@ def main():
         return jax.value_and_grad(loss_fn)(params)
 
     def train_step(params, ema_params, opt_state, rng, x):
-        # mirror bench.py's shipped config: lax.scan-sequenced microbatches
-        keys = jax.random.split(rng, MICRO)
-        xs = x.reshape(MICRO, BATCH // MICRO, *x.shape[1:])
+        # mirror bench.py's shipped config (MICRO=1 direct; else scanned)
+        if MICRO == 1:
+            loss, grads = micro_grads(params, ema_params, rng, x)
+            losses = [loss]
+        else:
+            keys = jax.random.split(rng, MICRO)
+            xs = x.reshape(MICRO, BATCH // MICRO, *x.shape[1:])
 
-        def body(acc, inp):
-            k_i, xb = inp
-            loss_i, g_i = micro_grads(params, ema_params, k_i, xb)
-            return jax.tree_util.tree_map(jnp.add, acc, g_i), loss_i
+            def body(acc, inp):
+                k_i, xb = inp
+                loss_i, g_i = micro_grads(params, ema_params, k_i, xb)
+                return jax.tree_util.tree_map(jnp.add, acc, g_i), loss_i
 
-        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-        grads, losses = jax.lax.scan(body, zeros, (keys, xs))
-        losses = list(losses)
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+            grads, losses = jax.lax.scan(body, zeros, (keys, xs))
+            losses = list(losses)
         grads = jax.tree_util.tree_map(lambda g: g / MICRO, grads)
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)

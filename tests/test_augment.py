@@ -278,3 +278,22 @@ def test_da5_trainer_config_wires_extras():
     from anatomask_tpu.training.trainer import get_trainer_config
     cfg = get_trainer_config("ATKTrainerDA5")
     assert cfg.aggressive_da
+
+
+def test_fused_trilinear_matches_map_coordinates(monkeypatch):
+    """The fused single-take trilinear sampler (default) must be bit-close to
+    jax.scipy map_coordinates(order=1, constant) incl. out-of-bounds cval."""
+    import numpy as np
+    from anatomask_tpu.data.augment import _trilinear_sample
+
+    rng = np.random.RandomState(0)
+    vol = jnp.asarray(rng.rand(7, 8, 9), jnp.float32)
+    # positions covering interior, boundary, and out-of-range
+    pos = jnp.asarray(rng.uniform(-2, 10, (3, 5, 6, 4)), jnp.float32)
+    for cval in (0.0, -1.0):
+        monkeypatch.setenv("ATK_TRILINEAR", "scipy")
+        ref = _trilinear_sample(vol, pos, cval)
+        monkeypatch.setenv("ATK_TRILINEAR", "fused")
+        got = _trilinear_sample(vol, pos, cval)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)

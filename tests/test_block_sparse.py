@@ -103,3 +103,39 @@ def test_block_moments_match_masked_moments(case):
     np.testing.assert_allclose(np.asarray(mean), ref_mean, rtol=1e-5,
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), ref_var, rtol=1e-4, atol=1e-5)
+
+
+def test_block_sparse_encoder_matches_dense(monkeypatch):
+    """SparseSTUNetEncoder with ATK_BLOCK_SPARSE=1 (first stages in active-
+    block layout) must produce the same features as the dense masked path,
+    from the same dense-initialized params (the param trees are identical)."""
+    from anatomask_tpu.ssl.sparse import SparseSTUNetEncoder
+    from anatomask_tpu.ssl.spark import random_keep_mask
+
+    enc = SparseSTUNetEncoder(depth=(1, 1, 1, 1, 1), dims=(4, 6, 8, 8, 8),
+                              len_keep=3)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 32, 32, 1), jnp.float32)
+    active = random_keep_mask(jax.random.PRNGKey(1), 2, (2, 2, 2), 3)
+    # mask the input like SparK does (blocks outside active are zero)
+    from anatomask_tpu.ssl.sparse import upsample_mask
+    xm = x * upsample_mask(active, (16, 16, 16)).astype(x.dtype)
+
+    params = enc.init(jax.random.PRNGKey(0), xm, active)
+    ref = enc.apply(params, xm, active)
+
+    monkeypatch.setenv("ATK_BLOCK_SPARSE", "1")
+    got = enc.apply(params, xm, active)
+    assert len(got) == len(ref)
+    for i, (a, b) in enumerate(zip(got, ref)):
+        assert a.shape == b.shape, (i, a.shape, b.shape)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"feat {i}")
+
+    # init under the flag must yield the identical parameter tree
+    params2 = enc.init(jax.random.PRNGKey(0), xm, active)
+    ja, jb = jax.tree_util.tree_structure(params), jax.tree_util.tree_structure(params2)
+    assert ja == jb
+    for pa, pb in zip(jax.tree_util.tree_leaves(params),
+                      jax.tree_util.tree_leaves(params2)):
+        assert pa.shape == pb.shape
