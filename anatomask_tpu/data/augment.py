@@ -173,7 +173,9 @@ def compute_initial_patch_size(final_patch_size, rot_x, rot_y, rot_z, scale_rang
 def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
     """Per-sample 3x3 matrices mapping centered OUTPUT coords -> centered INPUT
     coords (rotation + zoom; zoom > 1 shrinks content, matching the reference's
-    coordinate-scaling convention)."""
+    coordinate-scaling convention). Also returns the per-sample identity flag
+    (neither rotation nor scaling drawn — the warp is a pure central crop;
+    with the reference's p_rot = p_scale = 0.2 that is ~64% of samples)."""
     ks = jax.random.split(rng, 6)
     ax = jax.random.uniform(ks[0], (batch,), minval=cfg.rotation_x[0], maxval=cfg.rotation_x[1])
     ay = jax.random.uniform(ks[1], (batch,), minval=cfg.rotation_y[0], maxval=cfg.rotation_y[1])
@@ -181,8 +183,10 @@ def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
     do_rot = jax.random.bernoulli(ks[3], float(cfg.p_rotation), (batch,))
     ax, ay, az = (jnp.where(do_rot, a, 0.0) for a in (ax, ay, az))
 
+    do_sc = jax.random.bernoulli(ks[5], float(cfg.p_scaling), (batch,))
     sc = jax.random.uniform(ks[4], (batch,), minval=cfg.scale_range[0], maxval=cfg.scale_range[1])
-    sc = jnp.where(jax.random.bernoulli(ks[5], float(cfg.p_scaling), (batch,)), sc, 1.0)
+    sc = jnp.where(do_sc, sc, 1.0)
+    ident = jnp.logical_not(jnp.logical_or(do_rot, do_sc))
 
     cx, sx = jnp.cos(ax), jnp.sin(ax)
     cy, sy = jnp.cos(ay), jnp.sin(ay)
@@ -200,7 +204,7 @@ def _affine_matrices(rng, batch: int, cfg: SpatialAugmentConfig):
         R = Rx
     else:
         S = sc[:, None, None] * jnp.broadcast_to(jnp.eye(3), (batch, 3, 3))
-    return R @ S
+    return R @ S, ident
 
 
 def _trilinear_sample(vol, pos, cval):
@@ -340,13 +344,43 @@ def _seg_per_label_sample(vol, pos, labels):
     return out
 
 
+def _identity_crop(x, out_shape):
+    """Exactly what warp_one computes when A == I, as slices: the identity
+    warp samples at static offsets ((in_k - out_k)/2 per axis), which are
+    integers or half-integers by construction — a central crop plus a 2-tap
+    average along axes where in_k - out_k is odd. The averaging weights are
+    powers of two, so this matches the trilinear gather bit for bit.
+    x (ix, iy, iz[, C]); returns float32."""
+    x = x.astype(jnp.float32)
+    for ax, o in enumerate(out_shape):
+        i = int(x.shape[ax])
+        i0 = (i - o) // 2
+        if (i - o) % 2 == 0:
+            x = jax.lax.slice_in_dim(x, i0, i0 + o, axis=ax)
+        else:
+            x = 0.5 * (jax.lax.slice_in_dim(x, i0, i0 + o, axis=ax)
+                       + jax.lax.slice_in_dim(x, i0 + 1, i0 + o + 1, axis=ax))
+    return x
+
+
+def _identity_seg(vol, out_shape, labels):
+    """_seg_per_label_sample at the identity warp: per-label indicator crop
+    (2-tap averages are exact in fp) + 0.5 threshold, later labels
+    overwriting. vol (ix, iy, iz) one channel."""
+    out = jnp.zeros(out_shape, jnp.float32)
+    for cl in sorted(labels):
+        r = _identity_crop((vol == float(cl)).astype(jnp.float32), out_shape)
+        out = jnp.where(r >= 0.5, float(cl), out)
+    return out
+
+
 def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
     """data (B, ix, iy, iz, C) float, seg (B, ix, iy, iz, S) int.
     Returns final-patch-size warped (data', seg'); crop is folded into the warp."""
     batch = data.shape[0]
     in_shape = data.shape[1:4]
     out_shape = tuple(cfg.patch_size)
-    A = _affine_matrices(rng, batch, cfg)  # (B, 3, 3)
+    A, ident = _affine_matrices(rng, batch, cfg)  # (B, 3, 3), (B,)
 
     base = jnp.stack(jnp.meshgrid(
         *[jnp.arange(s, dtype=jnp.float32) - (s - 1) / 2 for s in out_shape],
@@ -397,13 +431,63 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
             seg_i.astype(jnp.float32))
         return d, s
 
+    # Identity fast path (ATK_IDENT_FAST=0 reverts to the uniform vmapped
+    # warp): the reference draws rotation and scaling with p = 0.2 each
+    # (pretrain_AntoMask.py:81-90 SpatialTransform p_rot/p_scale_per_sample),
+    # so ~64% of samples are pure central crops. A lax.scan over the batch
+    # with lax.cond per sample executes the cheap slice branch for those
+    # instead of the full trilinear gather (a cond under scan runs ONE
+    # branch, unlike vmap's select-both). Only for the order-1 default:
+    # order-3's B-spline prefilter is not a crop even at identity.
+    use_ident = (os.environ.get("ATK_IDENT_FAST", "1") == "1"
+                 and disp is None
+                 and not cfg.data_interpolation_order0
+                 and int(cfg.data_interpolation_order) == 1
+                 and (cfg.p_rotation < 1.0 or cfg.p_scaling < 1.0)
+                 and all(int(i) >= int(o)
+                         for i, o in zip(in_shape, out_shape))
+                 and (seg is None or cfg.seg_labels))
+
     if seg is None:
         # data-only path (SSL pretraining: no labels are transferred or warped)
+        if use_ident:
+            def body(carry, inp):
+                A_i, id_i, d_i = inp
+                out = jax.lax.cond(
+                    id_i,
+                    lambda args: _identity_crop(args[1], out_shape),
+                    lambda args: warp_one(args[0], args[1], None, None)[0]
+                    .astype(jnp.float32),
+                    (A_i, d_i))
+                return carry, out
+            _, data_out = jax.lax.scan(body, None, (A, ident, data))
+            return data_out, None
         if disp is None:
             data_out, _ = jax.vmap(lambda a, d: warp_one(a, d, None, None))(A, data)
         else:
             data_out, _ = jax.vmap(lambda a, d, di: warp_one(a, d, None, di))(A, data, disp)
         return data_out, None
+    if use_ident:
+        def sbody(carry, inp):
+            A_i, id_i, d_i, s_i = inp
+
+            def id_branch(args):
+                _, d_i, s_i = args
+                d = _identity_crop(d_i, out_shape)
+                s = jax.vmap(
+                    lambda c: _identity_seg(c, out_shape, cfg.seg_labels),
+                    in_axes=-1, out_axes=-1)(s_i.astype(jnp.float32))
+                return d, s
+
+            def warp_branch(args):
+                A_i, d_i, s_i = args
+                d, s = warp_one(A_i, d_i, s_i, None)
+                return d.astype(jnp.float32), s
+
+            return carry, jax.lax.cond(id_i, id_branch, warp_branch,
+                                       (A_i, d_i, s_i))
+        _, (data_out, seg_out) = jax.lax.scan(sbody, None, (A, ident, data, seg))
+        return data_out, seg_out.astype(jnp.int16)
     if disp is None:
         data_out, seg_out = jax.vmap(lambda a, d, sg: warp_one(a, d, sg, None))(A, data, seg)
     else:

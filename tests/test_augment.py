@@ -297,3 +297,40 @@ def test_fused_trilinear_matches_map_coordinates(monkeypatch):
         got = _trilinear_sample(vol, pos, cval)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_identity_fast_path_matches_vmapped_warp(monkeypatch):
+    """The scan+cond identity fast path (default) must reproduce the uniform
+    vmapped warp exactly: identity samples are bit-equal central crops
+    (power-of-two weights), warped samples run the same warp_one."""
+    rng = np.random.RandomState(3)
+    # odd AND even in-out differences to cover both crop cases (17-12=5 odd,
+    # 16-12=4 even, 14-12=2 even)
+    data = jnp.asarray(rng.rand(6, 17, 16, 14, 2), jnp.float32)
+    seg = jnp.asarray(rng.randint(0, 3, (6, 17, 16, 14, 1)), jnp.int16)
+    cfg = SpatialAugmentConfig(patch_size=(12, 12, 12), p_rotation=0.5,
+                               p_scaling=0.5, seg_labels=(1, 2))
+    key = jax.random.PRNGKey(0)
+    # with batch 6 and p=0.5 draws, both branches occur w.h.p.; assert both
+    from anatomask_tpu.data.augment import _affine_matrices
+    _, ident = _affine_matrices(key, 6, cfg)
+    ident = np.asarray(ident)
+    assert ident.any() and not ident.all(), "draws did not cover both branches"
+
+    monkeypatch.setenv("ATK_IDENT_FAST", "0")
+    d_ref, s_ref = spatial_augment(data, seg, key, cfg)
+    monkeypatch.setenv("ATK_IDENT_FAST", "1")
+    d_fast, s_fast = spatial_augment(data, seg, key, cfg)
+    np.testing.assert_allclose(np.asarray(d_fast), np.asarray(d_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_ref))
+    # identity rows are exact crops: bit-equal
+    np.testing.assert_array_equal(np.asarray(d_fast)[ident],
+                                  np.asarray(d_ref)[ident])
+
+    # data-only (SSL) path
+    d_ref2, _ = spatial_augment(data, None, key, cfg)
+    monkeypatch.setenv("ATK_IDENT_FAST", "0")
+    d_slow2, _ = spatial_augment(data, None, key, cfg)
+    np.testing.assert_allclose(np.asarray(d_ref2), np.asarray(d_slow2),
+                               rtol=1e-5, atol=1e-6)
