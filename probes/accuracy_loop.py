@@ -128,7 +128,16 @@ def finetune(pretrained_ckpt):
         # same-seed Dice ablation for the order-1 (TPU default) vs order-3
         # (reference default) data warp (VERDICT r2 item 6 parity-by-evidence)
         arms.append(("pretrained_order3", pretrained_ckpt, FT_EPOCHS, 3))
+    # per-arm checkpointing: an arm that already finished (recorded in the
+    # partial-results file) is never re-run — a dead process costs at most
+    # the arm in flight, not everything before it
+    partial_path = "/tmp/acc/res/ft_results.json"
+    if os.path.isfile(partial_path):
+        results.update(json.load(open(partial_path)))
+        print(f"resuming finetune, arms done: {sorted(results)}", flush=True)
     for tag, ckpt, n_ep, interp_order in arms:
+        if tag in results:
+            continue
         cfg = stunet_trainer_config(
             "B", name=f"STUNetTrainer_base_{tag}", num_epochs=n_ep,
             num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
@@ -154,6 +163,8 @@ def finetune(pretrained_ckpt):
             "num_epochs": n_ep,
         }
         print(f"{tag}: dice curve {results[tag]['mean_fg_dice']}", flush=True)
+        with open(partial_path, "w") as f:
+            json.dump(results, f)
     return results
 
 
@@ -161,9 +172,25 @@ def main():
     make_data()
     done_ckpt = f"/tmp/acc/res/{DSET}/pretrain_anatomask_B/checkpoint_final.npz"
     if os.path.isfile(done_ckpt) and os.environ.get("ACC_REUSE_PRETRAIN", "1") == "1":
-        hist_file = f"/tmp/acc/res/{DSET}/pretrain_anatomask_B/history.json"
-        history = json.load(open(hist_file))
-        ckpt, wall, warm_epoch_s = done_ckpt, -1.0, 42.4
+        # rebuild the full curve + warm epoch time from the append-mode log
+        # (history.json only covers epochs since the last resume)
+        import re
+        by_epoch, times = {}, []
+        log_path = f"/tmp/acc/res/{DSET}/pretrain_anatomask_B/pretrain_log.txt"
+        with open(log_path) as f:
+            for line in f:
+                m = re.search(r"epoch (\d+): train ([\d.]+) val ([\d.]+).*"
+                              r"time ([\d.]+)s", line)
+                if m:
+                    by_epoch[int(m.group(1))] = (float(m.group(2)),
+                                                 float(m.group(3)))
+                    times.append(float(m.group(4)))
+        es = sorted(by_epoch)
+        history = {"train_loss": [by_epoch[e][0] for e in es],
+                   "val_loss": [by_epoch[e][1] for e in es]}
+        warm_epoch_s = (sorted(times[2:])[len(times[2:]) // 2]
+                        if len(times) > 3 else None)
+        ckpt, wall = done_ckpt, round(sum(times), 1)
         print("reusing existing pretrain checkpoint", flush=True)
     else:
         history, ckpt, wall, warm_epoch_s = pretrain()

@@ -47,17 +47,23 @@ def main():
         out, _ = spatial_augment(x, None, key, cfg)
         return out.astype(jnp.bfloat16)
 
-    for mode, fn in (("fused", warp_f32), ("scipy", warp_f32),
-                     ("fused_bf16vol", warp_bf16)):
+    # ident_fast=off variants measure the pure all-samples-warped cost;
+    # the identfast variant measures the shipped expected case (p_rot =
+    # p_scale = 0.2 => ~64% identity crops), averaged over many keys
+    for mode, fn, identfast, iters in (
+            ("fused", warp_f32, "0", 8),
+            ("scipy", warp_f32, "0", 8),
+            ("fused_bf16vol", warp_bf16, "0", 8),
+            ("fused_identfast", warp_f32, "1", 24)):
         os.environ["ATK_TRILINEAR"] = "scipy" if mode == "scipy" else "fused"
         os.environ["ATK_WARP_DTYPE"] = ("bf16" if mode == "fused_bf16vol"
                                         else "f32")
+        os.environ["ATK_IDENT_FAST"] = identfast
         jf = jax.jit(fn)
         k = jax.random.PRNGKey(0)
         out = jf(k, data)
         float(jnp.asarray(out).ravel()[0])
         t0 = time.perf_counter()
-        iters = 8
         for i in range(iters):
             k, sub = jax.random.split(k)
             out = jf(sub, data)
