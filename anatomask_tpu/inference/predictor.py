@@ -47,7 +47,7 @@ def _preprocess_case_worker(plans_dict, configuration_name, dataset_json,
         data_pp = np.vstack([data_pp, onehot])
     return data_pp, props
 from anatomask_tpu.inference.sliding_window import (
-    make_tile_predictor, sliding_window_predict,
+    is_oom_error, make_tile_predictor, sliding_window_predict,
     sliding_window_predict_device_resident)
 from anatomask_tpu.models.build import build_network_from_plans
 from anatomask_tpu.plans.label_handling import determine_num_input_channels
@@ -192,19 +192,42 @@ class Predictor:
         tile_size = self.configuration_manager.patch_size
         device_resident = self._fits_device_resident(data, num_out)
         logits = None
+        # the budget gate models volume+logits+weights, not the tile
+        # forward's activations (x8 under mirror TTA): an HBM OOM at compile
+        # time degrades tile_batch_size to 1, then to the streaming path
+        # (which itself spills to host accumulation — the reference's
+        # GPU-OOM -> CPU ladder, predict_from_raw_data.py)
+        tile_batches = [b for b in (self.tile_batch_size, 1) if b >= 1]
+        tile_batches = sorted(set(tile_batches), reverse=True)
         for params in self.list_of_parameters:
-            if device_resident:
-                pred = sliding_window_predict_device_resident(
-                    data, self._tile_fn_for(params), tile_size, num_out,
-                    tile_step_size=self.tile_step_size,
-                    use_gaussian=self.use_gaussian,
-                    tile_batch_size=self.tile_batch_size,
-                )
-            else:
+            pred = None
+            while device_resident:
+                try:
+                    pred = sliding_window_predict_device_resident(
+                        data, self._tile_fn_for(params), tile_size, num_out,
+                        tile_step_size=self.tile_step_size,
+                        use_gaussian=self.use_gaussian,
+                        tile_batch_size=tile_batches[0],
+                    )
+                    break
+                except Exception as e:  # noqa: BLE001
+                    if not is_oom_error(e):
+                        raise
+                    if len(tile_batches) > 1:
+                        tile_batches.pop(0)  # sticks for the remaining folds
+                        if self.verbose:
+                            print("device-resident sliding window OOM; "
+                                  f"retrying with tile_batch_size={tile_batches[0]}")
+                    else:
+                        device_resident = False
+                        if self.verbose:
+                            print("device-resident sliding window OOM; "
+                                  "falling back to the streaming path")
+            if pred is None:
                 pred = sliding_window_predict(
                     data, self._tile_fn_for(params), tile_size, num_out,
                     tile_step_size=self.tile_step_size, use_gaussian=self.use_gaussian,
-                    tile_batch_size=self.tile_batch_size, verbose=self.verbose,
+                    tile_batch_size=tile_batches[0], verbose=self.verbose,
                 )
             logits = pred if logits is None else logits + pred
         return logits / len(self.list_of_parameters)

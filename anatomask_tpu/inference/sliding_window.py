@@ -45,6 +45,23 @@ def _device_memory_errors() -> tuple:
     return tuple(errs)
 
 
+def is_oom_error(e: BaseException) -> bool:
+    """True when the exception signals device memory exhaustion — at run
+    time (RESOURCE_EXHAUSTED) or at compile time (the TPU compiler's "Ran
+    out of memory in memory space hbm" permanent error)."""
+    if not isinstance(e, _device_memory_errors()):
+        return False
+    s = str(e)
+    # the axon remote-compile tunnel reports compile OOM as a bare HTTP 500
+    # (the "Ran out of memory in memory space hbm" detail stays in the
+    # terminal log); treat it as degradable — a genuine tile-fn bug fails
+    # the smaller fallback program too and surfaces there
+    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "Ran out of memory" in s or "Exceeded hbm capacity" in s
+            or "exceeds the" in s
+            or "remote_compile: HTTP 500" in s)
+
+
 def compute_steps_for_sliding_window(
     image_size: Sequence[int], tile_size: Sequence[int], tile_step_size: float
 ) -> List[List[int]]:
@@ -185,8 +202,7 @@ def sliding_window_predict(
             # ONLY resource exhaustion falls back to the host accumulator
             # (reference spills fp16 accumulators to CPU on GPU OOM); genuine
             # bugs in the tile fn must surface, not be masked by the slow path
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e) \
-                    and "exceeds the" not in str(e):
+            if not is_oom_error(e):
                 raise
             if verbose:
                 print(f"device accumulation OOM ({type(e).__name__}); using host path")

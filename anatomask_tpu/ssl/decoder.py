@@ -90,7 +90,16 @@ class ConvTranspose2x(nn.Module):
         from anatomask_tpu.ops.conv_lowering import _MIN_VOLUME
         k, b = _ConvTParams(self.features, (4, 4, 4), self.param_dtype,
                             name="conv")(x.shape[-1])
-        mode = _os.environ.get("ATK_CONVT421_LOWERING", "native")
+        mode = _os.environ.get("ATK_CONVT421_LOWERING", "zphase")
+        if (self.folded_depth is not None and mode == "zphase"
+                and 8 * self.folded_depth * x.shape[1] * x.shape[2]
+                >= _MIN_VOLUME):
+            # z-phase decomposition stays folded end-to-end: 1.4x fwd+bwd on
+            # the fused decoder chain (ops/subpixel.py measured table)
+            from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1_zphase
+            y = conv_transpose_4_2_1_zphase(
+                x.astype(self.dtype), self.folded_depth, k.astype(self.dtype))
+            return y + b.astype(self.dtype)
         if (self.folded_depth is not None and mode == "subpixel_folded"
                 and 8 * self.folded_depth * x.shape[1] * x.shape[2]
                 >= _MIN_VOLUME):

@@ -43,7 +43,9 @@ def main():
 
     patch = (128, 128, 128)
     num_out = 3
-    tile_batch = int(os.environ.get("ATK_BENCH_SW_TILE_BATCH", "2"))
+    # 8-flip TTA already batches 8 volumes per tile forward; tile_batch 2
+    # (16-way) exceeds 16G HBM at 128^3 (measured: 16.41G needed)
+    tile_batch = int(os.environ.get("ATK_BENCH_SW_TILE_BATCH", "1"))
     net = stunet_preset("base", 1, num_out, deep_supervision=False, dtype=jnp.bfloat16)
     params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, *patch, 1), jnp.bfloat16))
 

@@ -98,7 +98,8 @@ def chain(convt_fn):
 
 
 def timeit(f, args, iters=6):
-    jf = jax.jit(f)
+    # depth (arg 1) selects reshape shapes — must be static under jit
+    jf = jax.jit(f, static_argnums=(1,))
     out = jf(*args)
     float(jnp.asarray(out).ravel()[0])
     t0 = time.perf_counter()
@@ -111,7 +112,7 @@ def timeit(f, args, iters=6):
 def timegrad(f, args, iters=6):
     def loss(*a):
         return jnp.sum(f(*a).astype(jnp.float32) ** 2)
-    g = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)))
+    g = jax.jit(jax.grad(loss, argnums=(0, 2, 3, 4)), static_argnums=(1,))
     out = g(*args)
     float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
     t0 = time.perf_counter()

@@ -127,3 +127,72 @@ def test_device_resident_matches_streaming(rng):
         ref = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
                                      accumulate_on_device=False)
         np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_is_oom_error_classification():
+    """Compile-time and run-time HBM exhaustion must be degradable; other
+    runtime errors must surface (predictor.py OOM ladder)."""
+    from jax.errors import JaxRuntimeError
+    from anatomask_tpu.inference.sliding_window import is_oom_error
+
+    assert is_oom_error(JaxRuntimeError(
+        "RESOURCE_EXHAUSTED: Out of memory allocating 123 bytes"))
+    assert is_oom_error(JaxRuntimeError(
+        "INTERNAL: XLA:TPU compile permanent error. Ran out of memory in "
+        "memory space hbm. Used 16.41G of 15.75G hbm."))
+    assert is_oom_error(JaxRuntimeError(
+        "INTERNAL: http://127.0.0.1:8093/remote_compile: HTTP 500: "
+        "tpu_compile_helper subprocess exit code 1"))
+    assert not is_oom_error(JaxRuntimeError("INVALID_ARGUMENT: shape mismatch"))
+    assert not is_oom_error(ValueError("Out of memory"))  # not a device error
+
+
+def test_predictor_oom_ladder_degrades_to_streaming(rng, monkeypatch):
+    """An HBM-OOM in the device-resident sliding window must degrade to
+    tile_batch 1 and then to the streaming path — never crash (the budget
+    gate cannot see the tile forward's TTA-multiplied activations)."""
+    from types import MethodType, SimpleNamespace
+    from jax.errors import JaxRuntimeError
+    from anatomask_tpu.inference import predictor as pred_mod
+    from anatomask_tpu.inference.predictor import Predictor
+
+    data = rng.rand(1, 20, 24, 18).astype(np.float32)
+
+    def tile_fn(x):
+        return jnp.concatenate([x * 0.5, x ** 2], axis=-1)
+
+    ref = sliding_window_predict(data, tile_fn, (16, 16, 16), 2,
+                                 accumulate_on_device=False)
+
+    calls = []
+
+    def oom_device_resident(*a, **kw):
+        calls.append(kw.get("tile_batch_size"))
+        raise JaxRuntimeError(
+            "INTERNAL: XLA:TPU compile permanent error. Ran out of memory "
+            "in memory space hbm.")
+
+    monkeypatch.setattr(pred_mod, "sliding_window_predict_device_resident",
+                        oom_device_resident)
+    self = SimpleNamespace(
+        label_manager=SimpleNamespace(num_segmentation_heads=2),
+        configuration_manager=SimpleNamespace(patch_size=(16, 16, 16)),
+        list_of_parameters=[None],
+        tile_step_size=0.5, use_gaussian=True, tile_batch_size=2,
+        verbose=False,
+        _fits_device_resident=lambda *a, **kw: True,
+        _tile_fn_for=lambda p: tile_fn,
+    )
+    got = MethodType(Predictor.predict_sliding_window_return_logits,
+                     self)(data)
+    assert calls == [2, 1]  # degraded before falling back
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+    # non-OOM errors must NOT be masked by the ladder
+    def broken_device_resident(*a, **kw):
+        raise JaxRuntimeError("INVALID_ARGUMENT: shape mismatch")
+
+    monkeypatch.setattr(pred_mod, "sliding_window_predict_device_resident",
+                        broken_device_resident)
+    with pytest.raises(JaxRuntimeError):
+        MethodType(Predictor.predict_sliding_window_return_logits, self)(data)

@@ -113,3 +113,54 @@ def test_convtranspose2x_subpixel_folded_mode(rng, monkeypatch):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_4_2_1_zphase_matches_flax(rng):
+    """z-phase folded variant: (B*D, H, W, C) in, (B*2D, 2H, 2W, F) out,
+    exact vs the cropped flax ConvTranspose on the unfolded tensor
+    (values + grads) — multi-sample batch exercises the per-sample row
+    shift masking."""
+    from anatomask_tpu.ops.subpixel import conv_transpose_4_2_1_zphase
+    B, D, H, W, C, F = 3, 5, 4, 6, 3, 7
+    x = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+    w = jnp.asarray(rng.randn(4, 4, 4, C, F), jnp.float32) * 0.2
+    xf = x.reshape(B * D, H, W, C)
+    got = conv_transpose_4_2_1_zphase(xf, D, w)
+    expect = _flax_convT(x, w, (4, 4, 4), (2, 2, 2), crop=True)
+    assert got.shape == (B * 2 * D, 2 * H, 2 * W, F)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect.reshape(B * 2 * D, 2 * H, 2 * W, F)),
+        rtol=1e-5, atol=1e-5)
+
+    def loss_zphase(x, w):
+        return (conv_transpose_4_2_1_zphase(
+            x.reshape(B * D, H, W, C), D, w) ** 2).sum() * 1e-2
+
+    def loss_ref(x, w):
+        return (_flax_convT(x, w, (4, 4, 4), (2, 2, 2), crop=True) ** 2).sum() * 1e-2
+
+    g1 = jax.grad(loss_zphase, argnums=(0, 1))(x, w)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_convtranspose2x_zphase_mode(rng, monkeypatch):
+    """ConvTranspose2x with ATK_CONVT421_LOWERING=zphase (the folded-path
+    default) matches the native path in module form (same params)."""
+    from anatomask_tpu.ssl.decoder import ConvTranspose2x
+    from anatomask_tpu.ops import conv_lowering
+    B, D, H, W, C, F = 2, 4, 5, 6, 3, 8
+    x5 = jnp.asarray(rng.randn(B, D, H, W, C), jnp.float32)
+    xf = x5.reshape(B * D, H, W, C)
+    m = ConvTranspose2x(F, folded_depth=D)
+    params = m.init(jax.random.PRNGKey(0), xf)
+    monkeypatch.setenv("ATK_CONVT421_LOWERING", "native")
+    ref = m.apply(params, xf)
+    monkeypatch.setenv("ATK_CONVT421_LOWERING", "zphase")
+    monkeypatch.setattr(conv_lowering, "_MIN_VOLUME", 0)
+    got = m.apply(params, xf)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
