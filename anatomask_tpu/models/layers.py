@@ -94,7 +94,9 @@ class _ConvInner(nn.Module):
 
     def _folded_conv(self, x, kernel):
         from anatomask_tpu.ops.conv_lowering import (
-            conv3d_z2d, conv3d_zconcat, conv3d_zconcat_folded, pick_lowering)
+            _MIN_VOLUME, conv3d_z2d, conv3d_zconcat, conv3d_zconcat_folded,
+            conv3d_zstrided_folded, pick_lowering, use_zstrided_folded)
+        import os as _os
         ks, D = self.kernel_size, self.folded_depth
         assert len(ks) == 3, "folded mode is 3D-only"
         N, H, W, _ = x.shape
@@ -110,6 +112,17 @@ class _ConvInner(nn.Module):
                 x, kernel.reshape(1, 1, kernel.shape[3], kernel.shape[4]),
                 (1, 1), ((0, 0), (0, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out_vol = out_spatial[0] * out_spatial[1] * out_spatial[2]
+        if (use_zstrided_folded(ks, self.strides, D, self.padding)
+                and out_vol >= _MIN_VOLUME
+                and _os.environ.get("ATK_ZSTRIDED", "0") == "1"):
+            # z-strided stage-boundary convs stay folded (no 5D hole).
+            # MEASURED OPT-IN, default off: both variants LOSE ~2.5% e2e on
+            # the pretrain bench (7.68 -> 7.49 input-concat / 7.51
+            # output-stacked) — the stride-2 row slice on the folded layout
+            # costs more than the 5D boundary it removes (PLAN.md round 3)
+            return conv3d_zstrided_folded(x, D, kernel, self.strides,
+                                          self.padding)
         lowering = pick_lowering(ks, self.strides, self.padding, out_spatial)
         if lowering == "zconcat":
             return conv3d_zconcat_folded(x, D, kernel, self.strides, self.padding)

@@ -111,6 +111,82 @@ def conv3d_zconcat_folded(
     return out
 
 
+def use_zstrided_folded(kernel_size, strides, depth, padding) -> bool:
+    """The folded z-STRIDED lowering applies when the sample depth divides
+    the z-stride exactly (torch-style k//2 padding then gives out_z == D/sz,
+    so strided row slices of the folded tensor stay sample-aligned)."""
+    if len(kernel_size) != 3:
+        return False
+    sz = strides[0]
+    kz = kernel_size[0]
+    (pz0, pz1) = padding[0]
+    if sz <= 1 or depth % sz != 0:
+        return False
+    out_z = (depth + pz0 + pz1 - kz) // sz + 1
+    return out_z == depth // sz
+
+
+def conv3d_zstrided_folded(
+    xf: jnp.ndarray,
+    depth: int,
+    kernel: jnp.ndarray,
+    strides: Tuple[int, int, int],
+    padding: Tuple[Tuple[int, int], Tuple[int, int], Tuple[int, int]],
+) -> jnp.ndarray:
+    """z-STRIDED conv on a FOLDED (B*D, H, W, C) input -> folded output
+    (B*(D//sz), H', W', F) with no 5D round-trip. Output z-row oz draws tap
+    dz from input row sz*oz + dz - pz0: taps sharing a residue mod sz read
+    the SAME strided row slice (sample-aligned because sz | D), so one 2D
+    conv per residue group stacks its taps output-channel-wise and the
+    off-diagonal taps combine via rolls + sample-boundary masks on the
+    1/sz-resolution output (k3s2p1: two convs, one masked output roll).
+    Exact: pure re-association of the same sums (tested vs conv3d_z2d / lax
+    in tests/test_folded.py).
+
+    This closes the last 5D hole in whole-stage folded execution: stage-
+    boundary convs previously unfolded (models/layers.py _folded_conv),
+    paying 5D relayout copies + dilated-pad backward at full resolution
+    (~40 ms/step in the round-3 profile). Reference op: torch Conv3d
+    stride-2 stage heads (/root/reference/.../STUNetTrainer.py:452)."""
+    kz = kernel.shape[0]
+    sz, sy, sx = strides
+    (pz0, pz1), py, px = padding
+    N, H, W, C = xf.shape
+    F = kernel.shape[4]
+    out_z = depth // sz
+    n_out = (N // depth) * out_z
+    oz_idx = jnp.arange(n_out) % out_z
+    # group taps by input-row residue r = (dz - pz0) mod sz: taps in one
+    # group read the SAME strided row slice, so one conv per group stacks
+    # them output-channel-wise (zconcat-style) and the off-diagonal taps
+    # combine by rolls on the (1/sz-resolution) OUTPUT — cheaper than
+    # shifting input slabs (measured: input-side concat lost 2.5% e2e)
+    groups = {}
+    for dz in range(kz):
+        o = dz - pz0
+        r = o % sz
+        groups.setdefault(r, []).append(((o - r) // sz, o, dz))
+    out = None
+    for r, taps in sorted(groups.items()):
+        slab = jax.lax.slice_in_dim(xf, r, N, stride=sz, axis=0)
+        w_r = (kernel[taps[0][2]] if len(taps) == 1 else jnp.concatenate(
+            [kernel[dz] for _, _, dz in taps], axis=-1))
+        y = jax.lax.conv_general_dilated(
+            slab, w_r, (sy, sx), (py, px),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        for i, (d, o, _) in enumerate(taps):
+            yb = y[:, :, :, i * F:(i + 1) * F]
+            if d:
+                z = sz * oz_idx + o
+                valid = (z >= 0) & (z < depth)
+                # rolled reads crossing a sample boundary have z outside
+                # [0, depth) and are zeroed by the mask
+                yb = jnp.where(valid[:, None, None, None],
+                               jnp.roll(yb, -d, axis=0), 0)
+            out = yb if out is None else out + yb
+    return out
+
+
 def conv3d_zconcat(
     x: jnp.ndarray,
     kernel: jnp.ndarray,

@@ -114,3 +114,66 @@ def test_sparse_encoder_5d_contract_when_not_folded_feats(monkeypatch):
     feats = enc.apply({"params": params}, x, mask)
     assert feats[0].shape == (2, 8, 8, 8, 4)
     assert feats[1].shape == (2, 4, 4, 4, 8)
+
+
+@pytest.mark.parametrize("ks,strides,pad", [
+    ((3, 3, 3), (2, 2, 2), ((1, 1), (1, 1), (1, 1))),
+    ((3, 3, 3), (2, 1, 2), ((1, 1), (1, 1), (1, 1))),
+    ((1, 1, 1), (2, 2, 2), ((0, 0), (0, 0), (0, 0))),
+    ((3, 1, 1), (2, 1, 1), ((1, 1), (0, 0), (0, 0))),
+])
+def test_zstrided_folded_matches_z2d(ks, strides, pad):
+    """Folded z-strided conv == the 5D z2d lowering (same sums) on even
+    depths, incl. anisotropic strides and the 1x1x1 stride-2 shortcut."""
+    from anatomask_tpu.ops.conv_lowering import (conv3d_z2d,
+                                                 conv3d_zstrided_folded,
+                                                 use_zstrided_folded)
+    rng = np.random.RandomState(7)
+    B, D, H, W, C, F = 2, 6, 7, 9, 4, 5
+    assert use_zstrided_folded(ks, strides, D, pad)
+    x = jnp.asarray(rng.rand(B, D, H, W, C), jnp.float32)
+    k = jnp.asarray(rng.rand(*ks, C, F), jnp.float32)
+    ref = conv3d_z2d(x, k, strides, pad)
+    got = conv3d_zstrided_folded(x.reshape(B * D, H, W, C), D, k, strides, pad)
+    assert got.shape == (B * ref.shape[1], *ref.shape[2:])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref).reshape(got.shape),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_zstrided_folded_gate():
+    from anatomask_tpu.ops.conv_lowering import use_zstrided_folded
+    pad1 = ((1, 1), (1, 1), (1, 1))
+    assert not use_zstrided_folded((3, 3, 3), (2, 2, 2), 7, pad1)  # odd depth
+    assert not use_zstrided_folded((3, 3, 3), (1, 2, 2), 8, pad1)  # z-stride 1
+    assert not use_zstrided_folded((3, 3, 3), (2, 2, 2), 8,
+                                   ((0, 0), (1, 1), (1, 1)))  # out_z != D/sz
+
+
+def test_spark_folded_strided_path_grads(monkeypatch):
+    """Model-level: with the volume gate opened, the folded z-strided path
+    is exact vs the unfolded model incl. grads (stage-boundary convs)."""
+    from anatomask_tpu.ops import conv_lowering
+    from anatomask_tpu.ssl.pretrain import PretrainConfig, build_spark_model
+    from anatomask_tpu.ssl.spark import spark_loss
+    monkeypatch.setattr(conv_lowering, "_MIN_VOLUME", 0)
+    monkeypatch.setenv("ATK_ZSTRIDED", "1")
+    cfg = PretrainConfig(method="spark", model_size="S",
+                         patch_size=(16, 16, 16), batch_size=2,
+                         mask_ratio=0.6, compute_dtype="float32",
+                         encoder_dims=(4, 8, 16, 32), encoder_depth=(1, 1, 1, 1))
+    model = build_spark_model(cfg, in_channels=1)
+    rng = jax.random.PRNGKey(1)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 16, 1), jnp.float32)
+    mask = model.mask(jax.random.PRNGKey(2), 2)
+
+    def loss_fn(p):
+        inp, rec = model.apply({"params": p}, x, mask)
+        return spark_loss(inp, rec, mask)[0]
+
+    _with_folded(monkeypatch, "0")
+    params = model.init(rng, x, mask)["params"]
+    ref_loss, ref_grad = jax.value_and_grad(loss_fn)(params)
+    _with_folded(monkeypatch, "1")
+    got_loss, got_grad = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    _tree_allclose(got_grad, ref_grad, rtol=5e-3, atol=1e-4)
