@@ -794,18 +794,25 @@ class Trainer:
         self.get_dataloaders()
         rng = jax.random.PRNGKey(self.cfg.seed + 777)
 
-        dummy_batch = None
+        dummy_batch = dummy_val_batch = None
         if self.cfg.benchmark_no_dataloading:
             cm = self.configuration_manager
             num_in = determine_num_input_channels(self.plans_manager, cm, self.dataset_json)
             sample_patch = self.initial_patch_size if self.cfg.do_data_augmentation else tuple(cm.patch_size)
             local_bs = self._host_batch_spec()[0]
-            dummy_batch = {
-                "data": np.random.rand(local_bs, *sample_patch, num_in).astype(np.float32),
-                "seg": np.random.randint(
-                    0, max(2, len(self.label_manager.all_labels)),
-                    (local_bs, *sample_patch, 1)).astype(np.int16),
-            }
+
+            def _dummy(spatial):
+                return {
+                    "data": np.random.rand(local_bs, *spatial, num_in).astype(np.float32),
+                    "seg": np.random.randint(
+                        0, max(2, len(self.label_manager.all_labels)),
+                        (local_bs, *spatial, 1)).astype(np.int16),
+                }
+
+            # train dummies carry the augmentation margin (the train step
+            # augments+crops in-jit); val consumes patch-size center crops
+            dummy_batch = _dummy(sample_patch)
+            dummy_val_batch = _dummy(tuple(cm.patch_size))
 
         train_iter = iter(self.loader_train)
         val_iter = iter(self.loader_val)
@@ -853,7 +860,8 @@ class Trainer:
                 if self.cfg.num_val_iterations_per_epoch > 0:
                     val_losses, tps, fps, fns = [], [], [], []
                     for _ in range(self.cfg.num_val_iterations_per_epoch):
-                        batch = dummy_batch if dummy_batch is not None else next(val_iter)
+                        batch = (dummy_val_batch if dummy_val_batch is not None
+                                 else next(val_iter))
                         rng, sub = jax.random.split(rng)
                         loss, tp, fp, fn = self._val_step(
                             self.params, sub, self._to_global(batch["data"]),

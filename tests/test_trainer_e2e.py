@@ -122,9 +122,11 @@ def test_benchmark_result_written(trained):
     trainer, tmp_path = trained
     from dataclasses import replace
     from anatomask_tpu.training.trainer import Trainer
+    # val iters > 0: the no-dataloading val dummy must be patch-sized, not
+    # augmentation-margin-sized (regression: skip-concat shape crash on TPU)
     cfg = replace(trainer.cfg, name="ATKTrainerBench", benchmark=True,
                   benchmark_no_dataloading=True, num_epochs=1,
-                  num_iterations_per_epoch=2, num_val_iterations_per_epoch=0)
+                  num_iterations_per_epoch=2, num_val_iterations_per_epoch=1)
     t = Trainer(trainer.plans_manager.plans, "tiny", 1, trainer.dataset_json, cfg,
                 output_folder=os.path.join(str(tmp_path), "bench_out"))
     t.run_training()
