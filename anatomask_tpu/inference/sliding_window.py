@@ -52,14 +52,20 @@ def is_oom_error(e: BaseException) -> bool:
     if not isinstance(e, _device_memory_errors()):
         return False
     s = str(e)
+    if ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+            or "Ran out of memory" in s or "Exceeded hbm capacity" in s):
+        return True
+    # "exceeds the ..." only counts when it is about memory (allocation/HBM
+    # messages), not e.g. dimension-limit INVALID_ARGUMENTs
+    low = s.lower()
+    if "exceeds the" in low and ("memory" in low or "hbm" in low):
+        return True
     # the axon remote-compile tunnel reports compile OOM as a bare HTTP 500
     # (the "Ran out of memory in memory space hbm" detail stays in the
     # terminal log); treat it as degradable — a genuine tile-fn bug fails
-    # the smaller fallback program too and surfaces there
-    return ("RESOURCE_EXHAUSTED" in s or "Out of memory" in s
-            or "Ran out of memory" in s or "Exceeded hbm capacity" in s
-            or "exceeds the" in s
-            or "remote_compile: HTTP 500" in s)
+    # the smaller fallback program too and surfaces there, while a transient
+    # tunnel fault costs one degraded (but correct) prediction pass
+    return "remote_compile: HTTP 500" in s
 
 
 def compute_steps_for_sliding_window(

@@ -76,6 +76,20 @@ def use_zconcat(kernel_size, strides, padding, in_spatial) -> bool:
     return strides[0] == 1 and pz0 + pz1 == kz - 1
 
 
+def shift_folded_rows(x: jnp.ndarray, shift: int, depth: int) -> jnp.ndarray:
+    """Row shift on a folded (B*D, ...) tensor that respects sample
+    boundaries: out[n] = x[n + shift] when row n+shift belongs to the same
+    sample, else 0. The shared idiom behind the z-tap combines and the
+    z-phase ConvTranspose (one definition so boundary-mask fixes cannot
+    diverge)."""
+    if shift == 0:
+        return x
+    zidx = jnp.arange(x.shape[0]) % depth
+    valid = ((zidx + shift) >= 0) & ((zidx + shift) < depth)
+    valid = valid.reshape((-1,) + (1,) * (x.ndim - 1))
+    return jnp.where(valid, jnp.roll(x, -shift, axis=0), 0)
+
+
 def conv3d_zconcat_folded(
     xf: jnp.ndarray,
     depth: int,
@@ -98,15 +112,11 @@ def conv3d_zconcat_folded(
     y = jax.lax.conv_general_dilated(
         xf, w_all, (sy, sx), (py, px),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    zidx = jnp.arange(xf.shape[0]) % depth
     out = None
     for dz in range(kz):
         yb = y[:, :, :, dz * F:(dz + 1) * F]
-        shift = dz - pz0  # out[b, z] takes tap dz from input row z + shift
-        if shift:
-            valid = ((zidx + shift) >= 0) & ((zidx + shift) < depth)
-            yb = jnp.where(valid[:, None, None, None],
-                           jnp.roll(yb, -shift, axis=0), 0)
+        # out[b, z] takes tap dz from input row z + (dz - pz0)
+        yb = shift_folded_rows(yb, dz - pz0, depth)
         out = yb if out is None else out + yb
     return out
 

@@ -98,17 +98,12 @@ def conv_transpose_4_2_1_folded(xf: jnp.ndarray, depth: int,
         y = y.transpose(0, 1, 3, 2, 4, 5)
         return y.reshape(N, 2 * H, 2 * W, F)
 
-    zidx = jnp.arange(N) % depth
-
-    def shift_rows(x, s):
-        # x[n] <- x[n + s] within each sample's z range, zeros outside
-        valid = ((zidx + s) >= 0) & ((zidx + s) < depth)
-        return jnp.where(valid[:, None, None, None], jnp.roll(x, -s, axis=0), 0)
+    from anatomask_tpu.ops.conv_lowering import shift_folded_rows
 
     # out phase r1 at folded row m: K[r1] from input row m-1 (+ shift -1 puts
     # row m-1's conv value at row m), K[r1+2] from input row m (no shift)
-    p0 = shift_rows(hw_phases(0), -1) + hw_phases(2)
-    p1 = hw_phases(1) + shift_rows(hw_phases(3), +1)
+    p0 = shift_folded_rows(hw_phases(0), -1, depth) + hw_phases(2)
+    p1 = hw_phases(1) + shift_folded_rows(hw_phases(3), +1, depth)
     y = jnp.stack((p0, p1), axis=1)  # (N, 2, 2H, 2W, F)
     # folded row n = b*depth + z -> 2n + phi = b*(2*depth) + (2z + phi)
     return y.reshape(2 * N, 2 * H, 2 * W, F)
@@ -166,15 +161,8 @@ def conv_transpose_4_2_1_zphase(xf: jnp.ndarray, depth: int,
     xf: (B*depth, H, W, C) z-major folded; w: (4, 4, 4, C, F) DHWIO.
     Returns (B*2*depth, 2H, 2W, F). Reference op: torch ConvTranspose3d
     (/root/reference/.../decoder3D.py:20 up-sample convs)."""
+    from anatomask_tpu.ops.conv_lowering import shift_folded_rows
     N, H, W, C = xf.shape
-    zidx = jnp.arange(N) % depth
-
-    def shift_rows(x, s):
-        # x[n] <- x[n + s] within each sample, zeros outside
-        if s == 0:
-            return x
-        valid = ((zidx + s) >= 0) & ((zidx + s) < depth)
-        return jnp.where(valid[:, None, None, None], jnp.roll(x, -s, axis=0), 0)
 
     def convt2d(x, w2):
         # w2: (4, 4, C, F) ConvT over (H, W) with torch p=1 crop
@@ -193,7 +181,7 @@ def conv_transpose_4_2_1_zphase(xf: jnp.ndarray, depth: int,
             if (phi + 1 - te) % 2 != 0:
                 continue
             off = (phi + 1 - te) // 2
-            y = convt2d(shift_rows(xf, off), w[t])
+            y = convt2d(shift_folded_rows(xf, off, depth), w[t])
             acc = y if acc is None else acc + y
         phases.append(acc)
     # interleave phases along z: folded row b*depth+z -> rows 2z, 2z+1

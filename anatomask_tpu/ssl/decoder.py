@@ -73,12 +73,14 @@ class ConvTranspose2x(nn.Module):
     """ConvTranspose(k=4, s=2, p=1) with exact torch semantics: out = 2*in.
     (torch crops 1 from each side of the full-output transpose.)
 
-    The sub-pixel lowering (ops/subpixel.py) wins 1.4-1.5x in ISOLATION at the
-    full-resolution stage (probes/probe_subpixel.py) but loses 2.7% inside the
-    fused pretraining step (bench.py 5.753 -> 5.599: the shuffle transpose
-    breaks XLA's fusion chains), so the default stays on XLA's lhs-dilated
-    path; ATK_CONVT421_LOWERING=subpixel opts in. Parameter tree is identical
-    either way."""
+    Default on the folded path is the z-phase decomposition
+    (ops/subpixel.py conv_transpose_4_2_1_zphase): the (B*D, H, W, C) input
+    never unfolds to 5D — measured 1.4x fwd+bwd on the fused decoder chain
+    and bench.py 6.91 -> 7.68 patches/s. ATK_CONVT421_LOWERING selects
+    zphase (default) / subpixel_folded / subpixel (the round-2 shuffle
+    variant — wins isolated, loses fused) / native (XLA lhs-dilated, also
+    the fallback for unfolded inputs). Parameter tree is identical in every
+    mode."""
     features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32

@@ -812,7 +812,8 @@ class Trainer:
             # train dummies carry the augmentation margin (the train step
             # augments+crops in-jit); val consumes patch-size center crops
             dummy_batch = _dummy(sample_patch)
-            dummy_val_batch = _dummy(tuple(cm.patch_size))
+            if self.cfg.num_val_iterations_per_epoch > 0:
+                dummy_val_batch = _dummy(tuple(cm.patch_size))
 
         train_iter = iter(self.loader_train)
         val_iter = iter(self.loader_val)
