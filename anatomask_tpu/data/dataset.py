@@ -72,6 +72,29 @@ class CaseDataset:
     def __getitem__(self, key):
         return self.load_case(key)
 
+    def case_shape(self, key: str) -> Tuple[int, ...]:
+        """(c, x, y, z) of the preprocessed data WITHOUT loading it: reads
+        only the .npy header (or the npz member's header) — the device cache
+        surveys every case's shape at startup and full loads would decompress
+        gigabytes (`device_cache.py` slot sizing)."""
+        def _header_shape(f):
+            version = np.lib.format.read_magic(f)
+            if version == (1, 0):
+                shape, _, _ = np.lib.format.read_array_header_1_0(f)
+            else:
+                shape, _, _ = np.lib.format.read_array_header_2_0(f)
+            return shape
+
+        entry = self.dataset[key]
+        base = entry["data_file"][:-4]
+        if os.path.isfile(base + ".npy"):
+            with open(base + ".npy", "rb") as f:
+                return _header_shape(f)
+        import zipfile
+        with zipfile.ZipFile(entry["data_file"]) as z:
+            with z.open("data.npy") as f:
+                return _header_shape(f)
+
     def load_case(self, key: str) -> Tuple[np.ndarray, np.ndarray, dict]:
         entry = self.dataset[key]
         base = entry["data_file"][:-4]

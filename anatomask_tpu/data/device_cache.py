@@ -103,17 +103,26 @@ class DeviceCaseCache:
         self.has_ignore = has_ignore
         self.max_class_locs = max_class_locs
         self.rng = np.random.RandomState(seed)
+        # the refill WORKER thread draws windows/class-loc subsamples
+        # concurrently with the train thread's sample_batch draws — numpy
+        # RandomState is not thread-safe, so slot preparation gets its own
+        # stream (pipeline.py clones samplers per worker for the same reason)
+        self.refill_rng = np.random.RandomState(None if seed is None
+                                                else seed + 9173)
         self.dtype = dtype
         self.sharding = sharding
 
-        # probe one case for channel count + survey shapes cheaply from the
-        # dataset's properties (shape_after_cropping... use data arrays lazily)
-        shapes = []
-        for k in self.keys[: min(len(self.keys), 64)]:
-            d, _, _ = dataset.load_case(k)
-            shapes.append(d.shape[1:])
-            self.num_channels = d.shape[0]
-        max_shape = np.max(np.asarray(shapes, int), axis=0)
+        # survey case shapes from the npy/npz HEADERS only (a full load_case
+        # on the npz fallback would decompress every case just for .shape);
+        # dataset stand-ins without case_shape fall back to loading
+        def _shape(k):
+            if hasattr(dataset, "case_shape"):
+                return tuple(dataset.case_shape(k))
+            return dataset.load_case(k)[0].shape
+
+        shapes = [_shape(k) for k in self.keys[: min(len(self.keys), 64)]]
+        self.num_channels = shapes[0][0]
+        max_shape = np.max(np.asarray([s[1:] for s in shapes], int), axis=0)
         cap = (np.asarray(window_cap, int) if window_cap is not None
                else self.initial_patch * 2)
         self.window = np.minimum(max_shape, np.maximum(cap, self.initial_patch))
@@ -121,8 +130,14 @@ class DeviceCaseCache:
 
         bytes_per_slot = int(np.prod(self.slot_shape)) * self.num_channels * (
             2 if dtype == jnp.bfloat16 else 4)
-        self.num_slots = max(2, min(len(self.keys) * 4,
-                                    (capacity_mb * 2 ** 20) // bytes_per_slot))
+        budget_slots = (capacity_mb * 2 ** 20) // bytes_per_slot
+        if budget_slots < 2:
+            print(f"[device-cache] WARNING: slot size "
+                  f"{bytes_per_slot / 2**20:.0f} MB x 2 exceeds the "
+                  f"{capacity_mb} MB budget; allocating 2 slots anyway "
+                  f"({2 * bytes_per_slot / 2**20:.0f} MB of HBM) — shrink "
+                  f"window_cap or raise device_cache_mb", flush=True)
+        self.num_slots = max(2, min(len(self.keys) * 4, budget_slots))
         self.meta: List[Optional[_SlotMeta]] = [None] * self.num_slots
         self._key_cursor = 0
         self._refill_queue: "queue.Queue" = queue.Queue(maxsize=2)
@@ -144,7 +159,7 @@ class DeviceCaseCache:
     # --- host-side slot preparation ------------------------------------------
     def _next_key(self) -> str:
         if self._key_cursor == 0:
-            self._order = self.rng.permutation(len(self.keys))
+            self._order = self.refill_rng.permutation(len(self.keys))
         k = self.keys[int(self._order[self._key_cursor])]
         self._key_cursor = (self._key_cursor + 1) % len(self.keys)
         return k
@@ -155,7 +170,7 @@ class DeviceCaseCache:
         case_shape = np.asarray(data.shape[1:], int)
         win = np.minimum(case_shape, self.window)
         # random window for oversized cases (re-randomized each refill)
-        lo = np.array([self.rng.randint(0, c - w + 1) if c > w else 0
+        lo = np.array([self.refill_rng.randint(0, c - w + 1) if c > w else 0
                        for c, w in zip(case_shape, win)])
         offset = ((np.asarray(self.slot_shape) - win) // 2).astype(int)
         slot = np.zeros((*self.slot_shape, self.num_channels), np.float32)
@@ -175,7 +190,7 @@ class DeviceCaseCache:
             keep = np.all((coords >= lo) & (coords < lo + win), axis=1)
             coords = coords[keep] - lo + offset
             if len(coords) > self.max_class_locs:
-                coords = coords[self.rng.choice(len(coords),
+                coords = coords[self.refill_rng.choice(len(coords),
                                                 self.max_class_locs,
                                                 replace=False)]
             if len(coords):

@@ -157,6 +157,11 @@ class Predictor:
         self._apply_fn = apply_fn
         self._tile_fns = {}
         self._mirror_axes = tuple(mirror_axes) if mirror_axes is not None else None
+        # one params-taking tile fn shared by every fold: the device-resident
+        # whole-volume program then compiles ONCE per volume shape instead of
+        # once per (fold, shape) — fold weights ride as a traced argument
+        self._tile_fn_p = make_tile_predictor(apply_fn, self._mirror_axes,
+                                              takes_params=True)
 
     def _tile_fn_for(self, params):
         key = id(params)
@@ -168,7 +173,8 @@ class Predictor:
     # --- prediction -----------------------------------------------------------
     @staticmethod
     def _fits_device_resident(data: np.ndarray, num_out: int,
-                              budget_bytes: Optional[int] = None) -> bool:
+                              budget_bytes: Optional[int] = None,
+                              tile_size: Optional[Sequence[int]] = None) -> bool:
         """Whole-volume device-resident sliding window needs volume + logits +
         weights in HBM alongside the network. Budget default 4 GB
         (ATK_SW_DEVICE_BUDGET_MB overrides; ATK_SW_DEVICE=0 disables)."""
@@ -177,8 +183,12 @@ class Predictor:
         if budget_bytes is None:
             budget_bytes = int(os.environ.get("ATK_SW_DEVICE_BUDGET_MB",
                                               "4096")) * 2 ** 20
-        vox = int(np.prod(data.shape[1:]))
-        need = 4 * (vox * data.shape[0] + vox * num_out + vox)
+        # the runner pads each spatial dim up to the tile size, and the scan
+        # carry double-buffers logits+weights — budget the PADDED shape x2
+        tile = tile_size if tile_size is not None else (1, 1, 1)
+        vox = int(np.prod([max(int(s), int(t))
+                           for s, t in zip(data.shape[1:], tile)]))
+        need = 4 * (vox * data.shape[0] + 2 * (vox * num_out + vox))
         return need <= budget_bytes
 
     def predict_sliding_window_return_logits(self, data: np.ndarray) -> np.ndarray:
@@ -190,7 +200,8 @@ class Predictor:
         (device accumulation, host spill on OOM) as before."""
         num_out = self.label_manager.num_segmentation_heads
         tile_size = self.configuration_manager.patch_size
-        device_resident = self._fits_device_resident(data, num_out)
+        device_resident = self._fits_device_resident(data, num_out,
+                                                     tile_size=tile_size)
         logits = None
         # the budget gate models volume+logits+weights, not the tile
         # forward's activations (x8 under mirror TTA): an HBM OOM at compile
@@ -204,10 +215,11 @@ class Predictor:
             while device_resident:
                 try:
                     pred = sliding_window_predict_device_resident(
-                        data, self._tile_fn_for(params), tile_size, num_out,
+                        data, self._tile_fn_p, tile_size, num_out,
                         tile_step_size=self.tile_step_size,
                         use_gaussian=self.use_gaussian,
                         tile_batch_size=tile_batches[0],
+                        params=params,
                     )
                     break
                 except Exception as e:  # noqa: BLE001

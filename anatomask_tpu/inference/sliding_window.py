@@ -115,10 +115,17 @@ def pad_nd_image(
 def make_tile_predictor(
     apply_fn: Callable,
     mirror_axes: Optional[Sequence[int]] = None,
+    takes_params: bool = False,
 ) -> Callable:
     """Wrap a network apply (B, x, y, z, C_in) -> (B, x, y, z, C_out) into a
     mirror-TTA tile function. The flips are folded into the batch so the whole
-    TTA is one forward pass. mirror_axes are spatial axis indices (0..2)."""
+    TTA is one forward pass. mirror_axes are spatial axis indices (0..2).
+
+    takes_params=True: apply_fn is (params, x) and the returned tile fn is
+    (params, x) — parameters then ride as a TRACED jit argument instead of
+    being baked into the program as constants, so one compiled program
+    serves every fold of an ensemble (a 5-fold ensemble otherwise recompiles
+    the whole-volume scan per fold)."""
     flip_combos: List[Tuple[int, ...]] = [()]
     if mirror_axes:
         flip_combos = []
@@ -126,19 +133,27 @@ def make_tile_predictor(
             for combo in itertools.combinations(mirror_axes, r):
                 flip_combos.append(tuple(a + 1 for a in combo))  # +1: skip batch dim
 
-    def tile_fn(x):
+    def tta(fn, x):
         if len(flip_combos) == 1:
-            return apply_fn(x)
+            return fn(x)
         b = x.shape[0]
         stacked = jnp.concatenate([
             jnp.flip(x, axes) if axes else x for axes in flip_combos
         ], axis=0)
-        out = apply_fn(stacked)
+        out = fn(stacked)
         parts = [
             jnp.flip(out[i * b:(i + 1) * b], axes) if axes else out[i * b:(i + 1) * b]
             for i, axes in enumerate(flip_combos)
         ]
         return sum(parts) / len(parts)
+
+    if takes_params:
+        def tile_fn_p(params, x):
+            return tta(lambda s: apply_fn(params, s), x)
+        return tile_fn_p
+
+    def tile_fn(x):
+        return tta(apply_fn, x)
 
     return tile_fn
 
@@ -236,21 +251,23 @@ def sliding_window_predict(
     return logits[(slice(None), *slicer_to_undo[1:])]
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def _device_resident_runner(tile_fn_key, spatial: Tuple[int, ...],
                             tile_size: Tuple[int, ...], in_channels: int,
                             num_output_channels: int, tile_batch_size: int,
-                            n_batches: int):
+                            n_batches: int, takes_params: bool = False):
     """Builds the jitted whole-volume sliding-window program: tiles are
     dynamic-sliced out of the HBM-resident padded volume, predicted, and
     Gaussian-accumulated, all inside one lax.scan — ZERO per-tile host
     traffic and one dispatch per volume (vs one H2D + one dispatch per tile
     batch in the streaming path). tile_fn_key is (tile_fn, ) wrapped for
-    hashing by the caller."""
+    hashing by the caller. takes_params: tile_fn is (params, tiles) and the
+    fold's parameters are a traced argument — one compile per volume shape
+    serves every fold of the ensemble."""
     tile_fn = tile_fn_key[0]
     tx, ty, tz = tile_size
 
-    def run(vol, origins, valid, gauss):
+    def run(vol, origins, valid, gauss, params=None):
         # vol (X, Y, Z, C); origins (n_batches, B, 3) int32; valid same-shape
         # leading dims float32 (0 for padded duplicate tiles); gauss tile_size
         logits0 = jnp.zeros((*spatial, num_output_channels), jnp.float32)
@@ -265,7 +282,8 @@ def _device_resident_runner(tile_fn_key, spatial: Tuple[int, ...],
                     vol, (o[0], o[1], o[2], 0), (tx, ty, tz, in_channels))
 
             tiles = jax.vmap(get_tile)(obatch)
-            preds = tile_fn(tiles).astype(jnp.float32)
+            preds = (tile_fn(params, tiles) if takes_params
+                     else tile_fn(tiles)).astype(jnp.float32)
 
             def acc_one(carry, inp2):
                 logits, weights = carry
@@ -302,12 +320,15 @@ def sliding_window_predict_device_resident(
     tile_step_size: float = 0.5,
     use_gaussian: bool = True,
     tile_batch_size: int = 4,
+    params=None,
 ) -> np.ndarray:
     """Whole-volume device-resident sliding window: data crosses the host link
     exactly twice (volume in, logits out). data (c, x, y, z) float32 ->
     (num_output_channels, x, y, z) float32. Same tile placement / Gaussian /
     normalization math as sliding_window_predict. The caller is responsible
-    for gating on volume size (see Predictor._fits_device_resident)."""
+    for gating on volume size (see Predictor._fits_device_resident).
+    With `params`, tile_fn must be (params, tiles) (make_tile_predictor
+    takes_params=True) and the compiled program is shared across folds."""
     assert data.ndim == 4
     tile_size = tuple(int(t) for t in tile_size)
     data_padded, slicer_to_undo = pad_nd_image(data, tile_size)
@@ -328,12 +349,13 @@ def sliding_window_predict_device_resident(
     run = _device_resident_runner(
         (tile_fn,), tuple(int(s) for s in spatial), tile_size,
         int(data_padded.shape[0]), int(num_output_channels),
-        int(tile_batch_size), int(n_batches))
+        int(tile_batch_size), int(n_batches), takes_params=params is not None)
     vol = jnp.asarray(np.moveaxis(data_padded, 0, -1))  # (X, Y, Z, C)
     origins_dev = jnp.asarray(
         np.asarray(origins, np.int32).reshape(n_batches, tile_batch_size, 3))
     valid_dev = jnp.asarray(valid.reshape(n_batches, tile_batch_size))
-    out = np.asarray(run(vol, origins_dev, valid_dev, jnp.asarray(gaussian)),
+    out = np.asarray(run(vol, origins_dev, valid_dev, jnp.asarray(gaussian),
+                         params),
                      dtype=np.float32)
     out = np.moveaxis(out, -1, 0)
     return out[(slice(None), *slicer_to_undo[1:])]

@@ -3,7 +3,12 @@ z-concat) vs block-sparse first stages (ATK_BLOCK_SPARSE=1), fwd and
 fwd+bwd. This is the model-level complement to probe_blocksparse.py's
 stage-chain microbenchmark: it includes the real gather/scatter boundaries,
 the per-stage feature outputs for the densify skips, and the deeper dense
-stages. Run on the real TPU, one process at a time."""
+stages. Run on the real TPU, one process at a time.
+NOTE (round-3 review): timed() dispatches the jitted fn per iteration instead
+of chaining inside one jitted fori_loop (CLAUDE.md probe rule) — the ~30 ms
+tunnel dispatch overhead lands on BOTH arms equally, so the dense-vs-block
+comparison stands, but absolute numbers here are inflated by ~30/iters ms.
+"""
 import json
 import os
 import time

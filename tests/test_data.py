@@ -113,3 +113,20 @@ def test_cascade_corruption_changes_prev_stage(tmp_path):
     out = sampler._corrupt_previous_stage(prev)
     assert not np.array_equal(out, prev)  # binary op applied
     assert set(np.unique(out)) <= {0, 1}
+
+
+def test_case_shape_header_peek(tmp_path):
+    """CaseDataset.case_shape reads only headers and matches the real data
+    shape for both the unpacked .npy and the .npz-only forms."""
+    import numpy as np
+    from anatomask_tpu.data.dataset import CaseDataset
+    import pickle
+    d = np.random.rand(2, 5, 7, 9).astype(np.float32)
+    s = np.zeros((1, 5, 7, 9), np.int8)
+    np.savez(tmp_path / "case0.npz", data=d, seg=s)
+    with open(tmp_path / "case0.pkl", "wb") as f:
+        pickle.dump({}, f)
+    ds = CaseDataset(str(tmp_path))
+    assert tuple(ds.case_shape("case0")) == d.shape  # npz header path
+    np.save(tmp_path / "case0.npy", d)
+    assert tuple(ds.case_shape("case0")) == d.shape  # npy header path

@@ -182,6 +182,7 @@ def test_predictor_oom_ladder_degrades_to_streaming(rng, monkeypatch):
         verbose=False,
         _fits_device_resident=lambda *a, **kw: True,
         _tile_fn_for=lambda p: tile_fn,
+        _tile_fn_p=lambda p, x: tile_fn(x),
     )
     got = MethodType(Predictor.predict_sliding_window_return_logits,
                      self)(data)
@@ -196,3 +197,35 @@ def test_predictor_oom_ladder_degrades_to_streaming(rng, monkeypatch):
                         broken_device_resident)
     with pytest.raises(JaxRuntimeError):
         MethodType(Predictor.predict_sliding_window_return_logits, self)(data)
+
+
+def test_device_resident_params_shared_compile(rng):
+    """Fold params as a traced argument: two different param sets reuse ONE
+    cached whole-volume runner (ensembles previously recompiled per fold),
+    and results match the closure-mode path exactly."""
+    from anatomask_tpu.inference.sliding_window import (
+        _device_resident_runner, make_tile_predictor,
+        sliding_window_predict_device_resident)
+
+    data = rng.rand(1, 20, 24, 18).astype(np.float32)
+
+    def apply_fn(params, x):
+        return jnp.concatenate([x * params["a"], x + params["b"]], axis=-1)
+
+    tile_fn_p = make_tile_predictor(apply_fn, (0, 1), takes_params=True)
+    _device_resident_runner.cache_clear()
+    outs = []
+    for a, b in ((0.5, 1.0), (2.0, -1.0)):
+        params = {"a": jnp.float32(a), "b": jnp.float32(b)}
+        outs.append(sliding_window_predict_device_resident(
+            data, tile_fn_p, (16, 16, 16), 2, tile_batch_size=2,
+            params=params))
+        tile_fn_c = make_tile_predictor(
+            lambda x, a=a, b=b: jnp.concatenate([x * a, x + b], axis=-1),
+            (0, 1))
+        ref = sliding_window_predict_device_resident(
+            data, tile_fn_c, (16, 16, 16), 2, tile_batch_size=2)
+        np.testing.assert_allclose(outs[-1], ref, atol=1e-5)
+    # one params-mode entry (+ one closure-mode entry per fold fn)
+    info = _device_resident_runner.cache_info()
+    assert info.currsize == 3  # 1 shared params-mode + 2 closure fns
