@@ -237,9 +237,10 @@ class Predictor:
                                   "falling back to the streaming path")
             if pred is None:
                 pred = sliding_window_predict(
-                    data, self._tile_fn_for(params), tile_size, num_out,
+                    data, self._tile_fn_p, tile_size, num_out,
                     tile_step_size=self.tile_step_size, use_gaussian=self.use_gaussian,
                     tile_batch_size=tile_batches[0], verbose=self.verbose,
+                    params=params,
                 )
             logits = pred if logits is None else logits + pred
         return logits / len(self.list_of_parameters)

@@ -173,6 +173,16 @@ def _accumulate_fn(tile_size: Tuple[int, ...], num_channels: int):
     return jax.jit(acc, donate_argnums=(0, 1))
 
 
+@functools.lru_cache(maxsize=16)
+def _jit_tile(tile_fn):
+    return jax.jit(tile_fn)
+
+
+# distinguishes "no params argument (closure-mode tile_fn)" from a fold whose
+# parameter pytree is legitimately None/empty
+_NO_PARAMS = object()
+
+
 def sliding_window_predict(
     data: np.ndarray,
     tile_fn: Callable,
@@ -183,6 +193,7 @@ def sliding_window_predict(
     tile_batch_size: int = 4,
     accumulate_on_device: bool = True,
     verbose: bool = False,
+    params=_NO_PARAMS,
 ) -> np.ndarray:
     """data: (c, x, y, z) float32 -> logits (num_output_channels, x, y, z) float32.
 
@@ -211,7 +222,13 @@ def sliding_window_predict(
         else np.ones(tile_size, dtype=np.float32)
     )
 
-    jitted = jax.jit(tile_fn)
+    # with `params`, tile_fn is (params, tiles) and the fold's weights are a
+    # traced argument — one tile-program compile serves every ensemble fold.
+    # The jit wrapper is memoized on fn identity so successive cases reuse
+    # the traced program instead of rebuilding an empty jit cache per call.
+    _jitted = _jit_tile(tile_fn)
+    jitted = ((lambda x: _jitted(params, x)) if params is not _NO_PARAMS
+              else _jitted)
 
     if accumulate_on_device:
         try:
@@ -320,7 +337,7 @@ def sliding_window_predict_device_resident(
     tile_step_size: float = 0.5,
     use_gaussian: bool = True,
     tile_batch_size: int = 4,
-    params=None,
+    params=_NO_PARAMS,
 ) -> np.ndarray:
     """Whole-volume device-resident sliding window: data crosses the host link
     exactly twice (volume in, logits out). data (c, x, y, z) float32 ->
@@ -349,13 +366,14 @@ def sliding_window_predict_device_resident(
     run = _device_resident_runner(
         (tile_fn,), tuple(int(s) for s in spatial), tile_size,
         int(data_padded.shape[0]), int(num_output_channels),
-        int(tile_batch_size), int(n_batches), takes_params=params is not None)
+        int(tile_batch_size), int(n_batches),
+        takes_params=params is not _NO_PARAMS)
     vol = jnp.asarray(np.moveaxis(data_padded, 0, -1))  # (X, Y, Z, C)
     origins_dev = jnp.asarray(
         np.asarray(origins, np.int32).reshape(n_batches, tile_batch_size, 3))
     valid_dev = jnp.asarray(valid.reshape(n_batches, tile_batch_size))
     out = np.asarray(run(vol, origins_dev, valid_dev, jnp.asarray(gaussian),
-                         params),
+                         None if params is _NO_PARAMS else params),
                      dtype=np.float32)
     out = np.moveaxis(out, -1, 0)
     return out[(slice(None), *slicer_to_undo[1:])]
