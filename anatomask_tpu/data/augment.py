@@ -332,15 +332,64 @@ def _seg_per_label_sample(vol, pos, labels):
     """The reference's order_seg=1 semantics (batchgenerators interpolate_img
     is_seg path, via nnUNetTrainer.py:690): linear-warp each label's indicator
     volume, assign the label where the warped indicator >= 0.5, later labels
-    overwriting earlier ones; voxels no indicator claims stay 0."""
+    overwriting earlier ones; voxels no indicator claims stay 0.
+
+    Default implementation gathers the 8 warp corners of the LABEL volume
+    once and evaluates every label's indicator interpolation from the shared
+    corner values: sum_c w_c * (seg_c == cl), with out-of-bounds corners
+    contributing the reference's border_cval_seg=-1 (nnUNetTrainer.py:689-690
+    — coordinates within half a voxel outside the source never reach the 0.5
+    threshold). Bit-identical sums to warping each indicator separately
+    (same weights, same association) at 1/len(labels) the gather cost —
+    gathers dominate warp time on TPU. ATK_SEG_WARP=per_label reverts."""
+    import os as _os
+    if _os.environ.get("ATK_SEG_WARP", "shared") == "per_label":
+        out = jnp.zeros(pos.shape[1:], jnp.float32)
+        for cl in sorted(labels):
+            ind = (vol == float(cl)).astype(jnp.float32)
+            r = _trilinear_sample(ind, pos, -1.0)
+            out = jnp.where(r >= 0.5, float(cl), out)
+        return out
+
+    X, Y, Z = vol.shape
+    f0 = jnp.floor(pos)
+    t = pos - f0
+    base = f0.astype(jnp.int32)
+    offs = jnp.arange(2, dtype=jnp.int32)
+
+    def taps(b, n):
+        idx = b[..., None] + offs
+        ok = (idx >= 0) & (idx < n)
+        return jnp.clip(idx, 0, n - 1), ok
+
+    def wts(f):
+        return jnp.stack([1.0 - f, f], axis=-1)
+
+    xi, okx = taps(base[0], X)
+    yj, oky = taps(base[1], Y)
+    zk, okz = taps(base[2], Z)
+    lead = lambda a: jnp.moveaxis(a, -1, 0)  # tap dims LEADING (layout note
+    xi, okx, wx = lead(xi), lead(okx), lead(wts(t[0]))  # in _cubic_sample)
+    yj, oky, wy = lead(yj), lead(oky), lead(wts(t[1]))
+    zk, okz, wz = lead(zk), lead(okz), lead(wts(t[2]))
+    flat = vol.astype(jnp.float32).ravel()
+    corners = []  # per x-tap: (gathered seg labels (2,2,out), oob mask, w4)
+    for i in range(2):
+        idx4 = (xi[i][None, None] * Y + yj[:, None]) * Z + zk[None, :]
+        ok4 = okx[i][None, None] & oky[:, None] & okz[None, :]
+        corners.append((jnp.take(flat, idx4, axis=0), ok4,
+                        wy[:, None] * wz[None, :]))
     out = jnp.zeros(pos.shape[1:], jnp.float32)
     for cl in sorted(labels):
-        ind = (vol == float(cl)).astype(jnp.float32)
-        # cval=-1: the reference passes border_cval_seg=-1 into map_coordinates
-        # (nnUNetTrainer.py:689-690), so coordinates within half a voxel outside
-        # the source never reach the 0.5 threshold and stay background.
-        r = _trilinear_sample(ind, pos, -1.0)
-        out = jnp.where(r >= 0.5, float(cl), out)
+        acc = jnp.zeros(pos.shape[1:], jnp.float32)
+        for i in range(2):
+            segv, ok4, w4 = corners[i]
+            # identical values + association as _trilinear_sample on the
+            # indicator volume with cval=-1
+            vals = jnp.where(ok4, (segv == float(cl)).astype(jnp.float32),
+                             -1.0)
+            acc = acc + wx[i] * (vals * w4).sum((0, 1))
+        out = jnp.where(acc >= 0.5, float(cl), out)
     return out
 
 

@@ -334,3 +334,20 @@ def test_identity_fast_path_matches_vmapped_warp(monkeypatch):
     d_slow2, _ = spatial_augment(data, None, key, cfg)
     np.testing.assert_allclose(np.asarray(d_ref2), np.asarray(d_slow2),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_seg_warp_shared_corners_matches_per_label(monkeypatch):
+    """The shared-corner seg warp (one gather serves all labels) is
+    bit-identical to warping each label indicator separately."""
+    import jax.numpy as jnp
+    from anatomask_tpu.data.augment import _seg_per_label_sample
+    rng = np.random.RandomState(11)
+    vol = jnp.asarray(rng.randint(0, 4, (9, 8, 7)), jnp.float32)
+    # positions incl. out-of-bounds coords (border_cval_seg=-1 path)
+    pos = jnp.asarray(rng.rand(3, 6, 5, 4) * 12.0 - 2.0, jnp.float32)
+    labels = (1, 2, 3)
+    monkeypatch.setenv("ATK_SEG_WARP", "per_label")
+    ref = _seg_per_label_sample(vol, pos, labels)
+    monkeypatch.setenv("ATK_SEG_WARP", "shared")
+    got = _seg_per_label_sample(vol, pos, labels)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
