@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
-PP = "/tmp/acc/pp/Dataset955_AccLoop"
+PP = os.environ.get("PROBE_PP", "/tmp/acc/pp/Dataset955_AccLoop")
 
 
 def timeit(fn, args, iters=8):
@@ -46,9 +46,8 @@ def timeit(fn, args, iters=8):
 
 
 def main():
-    from anatomask_tpu.plans.plans_handler import PlansManager
+    from anatomask_tpu.plans.plans_handler import load_json
     from anatomask_tpu.training.trainer import Trainer, TRAINER_PRESETS
-    from anatomask_tpu.utils.helpers import load_json
     from dataclasses import replace
 
     plans = load_json(os.path.join(PP, "ATKPlans.json"))
