@@ -95,8 +95,6 @@ class AugmentConfig:
     mirror_axes: Tuple[int, ...] = (0, 1, 2)
     mask_channels_for_norm: Tuple[int, ...] = ()   # channels zeroed outside nonzero mask
     ds_scales: Tuple[Tuple[int, ...], ...] = ()    # per-DS-level integer downsample factors
-    regions: Optional[Tuple] = None                # region tuples for region-based targets
-    ignore_label: Optional[int] = None
     # cascade: seg channel 1 is the previous-stage prediction; it is one-hot
     # encoded over these labels and appended to the data channels (reference
     # MoveSegAsOneHotToData)
@@ -492,7 +490,7 @@ def spatial_augment(data, seg, rng, cfg: SpatialAugmentConfig):
                  and disp is None
                  and not cfg.data_interpolation_order0
                  and int(cfg.data_interpolation_order) == 1
-                 and (cfg.p_rotation < 1.0 or cfg.p_scaling < 1.0)
+                 and (cfg.p_rotation < 1.0 and cfg.p_scaling < 1.0)
                  and all(int(i) >= int(o)
                          for i, o in zip(in_shape, out_shape))
                  and (seg is None or cfg.seg_labels))
@@ -557,9 +555,13 @@ def _per_channel_where(flag, new, old):
 
 def gaussian_noise(x, rng, cfg: IntensityAugmentConfig):
     k1, k2, k3 = jax.random.split(rng, 3)
-    var = jax.random.uniform(k1, (x.shape[0],), minval=cfg.noise_variance[0],
+    # reference parity: batchgenerators augment_gaussian_noise draws a value
+    # from noise_variance and passes it DIRECTLY as np.random.normal's scale
+    # — the parameter is misnamed, the drawn value is the std (so the
+    # effective std is U(0, 0.1) under the default config, not sqrt of it)
+    std = jax.random.uniform(k1, (x.shape[0],), minval=cfg.noise_variance[0],
                              maxval=cfg.noise_variance[1])
-    noise = jax.random.normal(k2, x.shape) * jnp.sqrt(var).reshape(-1, 1, 1, 1, 1)
+    noise = jax.random.normal(k2, x.shape) * std.reshape(-1, 1, 1, 1, 1)
     return _per_sample_where(jax.random.bernoulli(k3, float(cfg.p_noise), (x.shape[0],)), x + noise, x)
 
 
@@ -576,7 +578,10 @@ def _blur_volume(vol, sigma):
     r = k.shape[0] // 2
     for ax in range(3):
         moved = jnp.moveaxis(vol, ax, -1)
-        padded = jnp.pad(moved, [(0, 0), (0, 0), (r, r)], mode="reflect")
+        # scipy gaussian_filter's default mode='reflect' duplicates the edge
+        # sample (d c b a | a b c d) — that is numpy's 'symmetric', NOT
+        # numpy's 'reflect'
+        padded = jnp.pad(moved, [(0, 0), (0, 0), (r, r)], mode="symmetric")
         blurred = jax.vmap(jax.vmap(lambda row: jnp.convolve(row, k, mode="valid")))(padded)
         vol = jnp.moveaxis(blurred, -1, ax)
     return vol
@@ -606,9 +611,15 @@ def brightness_multiplicative(x, rng, cfg: IntensityAugmentConfig):
 def contrast(x, rng, cfg: IntensityAugmentConfig):
     """Mean-preserving contrast scaling, clipped back to the original range."""
     b, c = x.shape[0], x.shape[-1]
-    k1, k2 = jax.random.split(rng)
-    factor = jax.random.uniform(k1, (b, c), minval=cfg.contrast_range[0],
-                                maxval=cfg.contrast_range[1])
+    k1, k2, k3 = jax.random.split(rng, 3)
+    # reference parity: augment_contrast splits the draw 50/50 below/above 1
+    # (uniform(lo, 1) vs uniform(max(lo, 1), hi)) — identical to one uniform
+    # only when the range is symmetric around 1
+    lo, hi = float(cfg.contrast_range[0]), float(cfg.contrast_range[1])
+    f_lo = jax.random.uniform(k1, (b, c), minval=lo, maxval=min(1.0, hi))
+    f_hi = jax.random.uniform(k3, (b, c), minval=max(lo, 1.0), maxval=hi)
+    pick_lo = jax.random.bernoulli(jax.random.fold_in(k1, 1), 0.5, (b, c))
+    factor = jnp.where(pick_lo & (lo < 1.0), f_lo, f_hi)
     axes = (1, 2, 3)
     mn = x.min(axes, keepdims=True)
     mx = x.max(axes, keepdims=True)
@@ -621,17 +632,22 @@ def contrast(x, rng, cfg: IntensityAugmentConfig):
 def _lowres_volume(vol, zoom, ignore_axis0: bool):
     """Simulate low resolution: nearest 'downsample' to a grid of pitch 1/zoom,
     linear 'upsample' back — expressed as a fixed-shape resample (out[i] =
-    lerp of the two nearest coarse samples), so zoom can be a traced scalar."""
+    lerp of the two nearest coarse samples), so zoom can be a traced scalar.
+    Coordinates follow the skimage resize half-pixel-center convention the
+    reference uses (coarse sample j sits at fine coordinate (j+.5)/zoom-.5,
+    nearest = floor((j+.5)/zoom)); the linear upsample is a documented
+    divergence from the reference's order-3 upsample (a traced-zoom B-spline
+    with prefilter is not worth its TPU cost for a p=.25 augmentation)."""
     out = vol
     axes = range(1 if ignore_axis0 else 0, 3)
     for ax in axes:
         n = out.shape[ax]
         i = jnp.arange(n, dtype=jnp.float32)
-        p = i * zoom                      # position in coarse units
+        p = (i + 0.5) * zoom - 0.5        # position in coarse units
         j0 = jnp.floor(p)
         frac = p - j0
-        src0 = jnp.clip(jnp.round(j0 / zoom), 0, n - 1).astype(jnp.int32)
-        src1 = jnp.clip(jnp.round((j0 + 1) / zoom), 0, n - 1).astype(jnp.int32)
+        src0 = jnp.clip(jnp.floor((j0 + 0.5) / zoom), 0, n - 1).astype(jnp.int32)
+        src1 = jnp.clip(jnp.floor((j0 + 1.5) / zoom), 0, n - 1).astype(jnp.int32)
         moved = jnp.moveaxis(out, ax, 0)
         res = moved[src0] * (1 - frac.reshape(-1, *([1] * (moved.ndim - 1)))) + \
               moved[src1] * frac.reshape(-1, *([1] * (moved.ndim - 1)))
@@ -700,7 +716,11 @@ def downsample_seg_for_ds(seg, ds_scales: Sequence[Sequence[int]]) -> List[jnp.n
                 continue
             n_out = s.shape[ax + 1] // f
             # nearest sample at skimage convention centers
-            idx = np.clip(np.round((np.arange(n_out) + 0.5) * f - 0.5), 0, s.shape[ax + 1] - 1).astype(int)
+            # scipy/skimage order-0 nearest resolves .5 ties as
+            # floor(x + 0.5) (np.round's half-to-even picks the wrong
+            # neighbor for every voxel at factor 2)
+            idx = np.clip(np.floor((np.arange(n_out) + 0.5) * f), 0,
+                          s.shape[ax + 1] - 1).astype(int)
             s = jnp.take(s, jnp.asarray(idx), axis=ax + 1)
         out.append(s)
     return out

@@ -489,13 +489,11 @@ class Trainer:
             mirror_axes=mirror_axes if (self.cfg.do_mirroring_aug and self.cfg.do_data_augmentation) else (),
             mask_channels_for_norm=mask_channels,
             ds_scales=tuple(ds_factors),
-            ignore_label=self.label_manager.ignore_label,
             cascade_foreground_labels=cascade_labels,
         )
         self.val_config = AugmentConfig(
             spatial=SpatialAugmentConfig(patch_size=patch, p_rotation=0.0, p_scaling=0.0),
             mirror_axes=(), mask_channels_for_norm=mask_channels, ds_scales=tuple(ds_factors),
-            ignore_label=self.label_manager.ignore_label,
             cascade_foreground_labels=cascade_labels,
         )
 

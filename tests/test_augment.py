@@ -351,3 +351,50 @@ def test_seg_warp_shared_corners_matches_per_label(monkeypatch):
     monkeypatch.setenv("ATK_SEG_WARP", "shared")
     got = _seg_per_label_sample(vol, pos, labels)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_blur_matches_scipy_gaussian_filter(rng):
+    # reference stack (batchgenerators GaussianBlurTransform) blurs with
+    # scipy.ndimage.gaussian_filter, whose default boundary mode 'reflect'
+    # duplicates the edge sample; pin _blur_volume against it
+    from scipy.ndimage import gaussian_filter1d
+    from anatomask_tpu.data.augment import _blur_volume
+    vol = rng.rand(10, 11, 12).astype(np.float32)
+    got = np.asarray(_blur_volume(jnp.array(vol), jnp.float32(1.0)))
+    want = vol
+    for ax in range(3):
+        want = gaussian_filter1d(want, sigma=1.0, axis=ax, mode="reflect",
+                                 truncate=4.0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_noise_std_is_drawn_value(rng):
+    # batchgenerators augment_gaussian_noise passes the value drawn from
+    # noise_variance directly as np.random.normal's scale (a std, despite
+    # the name) — the added noise std must equal the drawn value, not its sqrt
+    x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    cfg = IntensityAugmentConfig(p_noise=1.0, noise_variance=(0.5, 0.5))
+    out = gaussian_noise(x, jax.random.PRNGKey(0), cfg)
+    assert float(jnp.std(out)) == pytest.approx(0.5, rel=0.1)
+
+
+def test_ds_downsample_factor2_picks_upper_neighbor():
+    # scipy/skimage order-0 nearest resolves the exact .5 ties at factor 2
+    # as floor(x + 0.5): source index 2i+1, not np.round's half-to-even 2i
+    seg = jnp.arange(8, dtype=jnp.int16).reshape(1, 8, 1, 1, 1)
+    seg = jnp.broadcast_to(seg, (1, 8, 2, 2, 1))
+    out = downsample_seg_for_ds(seg, [(2, 1, 1)])[0]
+    np.testing.assert_array_equal(np.asarray(out)[0, :, 0, 0, 0], [1, 3, 5, 7])
+
+
+def test_contrast_two_sided_sampling():
+    # augment_contrast draws 50% of factors in (lo, 1) and 50% in (1, hi);
+    # with the asymmetric range (0.5, 1.25) a plain uniform would put ~67%
+    # below 1 — check the split is ~50/50 (factor < 1 shrinks the std)
+    rng_np = np.random.RandomState(3)
+    x = jnp.array(rng_np.rand(512, 4, 4, 4, 1).astype(np.float32))
+    cfg = IntensityAugmentConfig(p_contrast=1.0, contrast_range=(0.5, 1.25))
+    out = contrast(x, jax.random.PRNGKey(7), cfg)
+    shrunk = (np.asarray(out).std(axis=(1, 2, 3, 4))
+              < np.asarray(x).std(axis=(1, 2, 3, 4))).mean()
+    assert 0.40 < shrunk < 0.60
