@@ -197,11 +197,14 @@ class InstanceNorm(nn.Module):
         if self.folded_depth is not None:
             D = self.folded_depth
             B = x.shape[0] // D
-            # per-row fp32 means -> (B, D, C) -> per-sample mean over rows
-            row_m = jnp.mean(x, (1, 2), dtype=jnp.float32)        # (B*D, C)
-            row_m2 = jnp.mean(jnp.square(x), (1, 2), dtype=jnp.float32)
-            mean = row_m.reshape(B, D, c).mean(1)                  # (B, C)
-            mean_sq = row_m2.reshape(B, D, c).mean(1)
+            # per-row fp32 sums -> (B, D, C) -> per-sample mean over rows
+            # (ops/moments.py: ATK_MOMENTS=dot streams the reduction through
+            # the MXU instead of the loop-fusion reduce emitter)
+            from anatomask_tpu.ops.moments import folded_row_sums
+            row_s, row_ss = folded_row_sums(x)                     # (B*D, C)
+            cnt = float(D * x.shape[1] * x.shape[2])
+            mean = row_s.reshape(B, D, c).sum(1) / cnt             # (B, C)
+            mean_sq = row_ss.reshape(B, D, c).sum(1) / cnt
             var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             a = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
             b = bias.astype(jnp.float32) - mean * a

@@ -27,6 +27,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # below this many output voxels per slab, 3 small dispatches cost more than the
 # native emitter's inefficiency
@@ -90,6 +91,44 @@ def shift_folded_rows(x: jnp.ndarray, shift: int, depth: int) -> jnp.ndarray:
     return jnp.where(valid, jnp.roll(x, -shift, axis=0), 0)
 
 
+def combine_ztaps_folded(y: jnp.ndarray, depth: int, kz: int, pz0: int) -> jnp.ndarray:
+    """Combine the kz tap-major output blocks of a zconcat conv: out[b, z, f]
+    = sum_dz y[b, z + dz - pz0, dz*F + f] (rows outside the sample contribute
+    0). Two exact formulations:
+
+    - "shift" (default): per-tap masked row roll + add (shift_folded_rows) —
+      lands in XLA's loop-fusion emitter.
+    - "conv" (ATK_ZCOMBINE=conv): ONE fixed selection-kernel conv over the
+      (depth, H*W) view of the output — the zero-padding rows reproduce the
+      sample-boundary masks exactly and the combine rides the conv pipeline
+      instead of a separate full-bandwidth elementwise pass. Extra MACs are
+      kz*F-fold on the small combine, negligible vs the main conv.
+      (probes/probe_zcombine.py measures both at the hot bench shapes.)
+    """
+    F = y.shape[-1] // kz
+    if kz == 1:
+        return y
+    if os.environ.get("ATK_ZCOMBINE", "shift") == "conv":
+        n, h, w = y.shape[0], y.shape[1], y.shape[2]
+        b = n // depth
+        sel = np.zeros((kz, 1, kz * F, F), np.float32)
+        for dz in range(kz):
+            sel[dz, 0, dz * F:(dz + 1) * F, :] = np.eye(F)
+        y5 = y.reshape(b, depth, h * w, kz * F)
+        out = jax.lax.conv_general_dilated(
+            y5, jnp.asarray(sel, y.dtype), (1, 1),
+            ((pz0, kz - 1 - pz0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.reshape(n, h, w, F)
+    out = None
+    for dz in range(kz):
+        yb = y[:, :, :, dz * F:(dz + 1) * F]
+        # out[b, z] takes tap dz from input row z + (dz - pz0)
+        yb = shift_folded_rows(yb, dz - pz0, depth)
+        out = yb if out is None else out + yb
+    return out
+
+
 def conv3d_zconcat_folded(
     xf: jnp.ndarray,
     depth: int,
@@ -106,19 +145,12 @@ def conv3d_zconcat_folded(
     kz = kernel.shape[0]
     _, sy, sx = strides
     (pz0, pz1), py, px = padding
-    F = kernel.shape[4]
     # (ky, kx, C, kz*F), tap-major blocks of F output channels
     w_all = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=-1)
     y = jax.lax.conv_general_dilated(
         xf, w_all, (sy, sx), (py, px),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
-    out = None
-    for dz in range(kz):
-        yb = y[:, :, :, dz * F:(dz + 1) * F]
-        # out[b, z] takes tap dz from input row z + (dz - pz0)
-        yb = shift_folded_rows(yb, dz - pz0, depth)
-        out = yb if out is None else out + yb
-    return out
+    return combine_ztaps_folded(y, depth, kz, pz0)
 
 
 def use_zstrided_folded(kernel_size, strides, depth, padding) -> bool:

@@ -80,9 +80,10 @@ def conv_transpose_4_2_1_folded(xf: jnp.ndarray, depth: int,
                                 (2 * jnp.arange(2) + r2)[:, None],
                                 (2 * jnp.arange(2) + r3)[None, :]])
     w2 = jnp.concatenate(blocks, axis=-1).astype(xf.dtype)  # (2, 2, C, 16F)
-    xp = jnp.pad(xf, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # padding folded into the conv (an explicit jnp.pad is a separate
+    # full-bandwidth copy of the full-res tensor)
     c = jax.lax.conv_general_dilated(
-        xp, w2, (1, 1), [(0, 0)] * 2,
+        xf, w2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (N, H+1, W+1, 16F)
 
     def hw_phases(kz: int) -> jnp.ndarray:
@@ -126,9 +127,8 @@ def conv_transpose_4_2_1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
                                 (2 * jnp.arange(2) + r2)[None, :, None],
                                 (2 * jnp.arange(2) + r3)[None, None, :]])
     w2 = jnp.concatenate(blocks, axis=-1).astype(x.dtype)  # (2,2,2,C,8F)
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
     c = jax.lax.conv_general_dilated(
-        xp, w2, (1, 1, 1), [(0, 0)] * 3,
+        x, w2, (1, 1, 1), ((1, 1), (1, 1), (1, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))  # (B, D+1, H+1, W+1, 8F)
     parts = []
     p = 0

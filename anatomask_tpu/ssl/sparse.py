@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from anatomask_tpu.models.layers import ConvND
+from anatomask_tpu.ops.moments import folded_row_sums
 
 
 def upsample_mask(mask: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
@@ -68,8 +69,7 @@ def _masked_moments_folded(x: jnp.ndarray, m: jnp.ndarray, depth: int):
     b = x.shape[0] // depth
     mx = m.astype(x.dtype)
     cnt_r = jnp.sum(m, (1, 2), dtype=jnp.float32)                    # (B*D, 1)
-    s_r = jnp.sum(x * mx, (1, 2), dtype=jnp.float32)                 # (B*D, C)
-    ss_r = jnp.sum(jnp.square(x) * mx, (1, 2), dtype=jnp.float32)
+    s_r, ss_r = folded_row_sums(x, mx)                               # (B*D, C)
     cnt = jnp.maximum(cnt_r.reshape(b, depth).sum(1), 1.0)[:, None]  # (B, 1)
     mean = s_r.reshape(b, depth, c).sum(1) / cnt                     # (B, C)
     mean_sq = ss_r.reshape(b, depth, c).sum(1) / cnt

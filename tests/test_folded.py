@@ -177,3 +177,60 @@ def test_spark_folded_strided_path_grads(monkeypatch):
     got_loss, got_grad = jax.value_and_grad(loss_fn)(params)
     np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
     _tree_allclose(got_grad, ref_grad, rtol=5e-3, atol=1e-4)
+
+
+def test_combine_ztaps_conv_matches_shift(monkeypatch):
+    """ATK_ZCOMBINE=conv (fixed selection-kernel conv over the (D, H*W) view)
+    must equal the shipped masked-roll combine, including the zero rows at
+    sample boundaries, values and grads."""
+    from anatomask_tpu.ops.conv_lowering import conv3d_zconcat_folded
+    rng = np.random.RandomState(0)
+    depth, b, h, w, c, f = 6, 2, 5, 7, 3, 4
+    xf = jnp.array(rng.randn(b * depth, h, w, c).astype(np.float32))
+    k = jnp.array(rng.randn(3, 3, 3, c, f).astype(np.float32) * 0.1)
+    args = (xf, depth, k, (1, 1, 1), ((1, 1), (1, 1), (1, 1)))
+
+    def loss(xf, k):
+        return jnp.sum(conv3d_zconcat_folded(xf, depth, k, args[3], args[4]) ** 2)
+
+    monkeypatch.setenv("ATK_ZCOMBINE", "shift")
+    ref = conv3d_zconcat_folded(*args)
+    gref = jax.grad(loss, argnums=(0, 1))(xf, k)
+    monkeypatch.setenv("ATK_ZCOMBINE", "conv")
+    got = conv3d_zconcat_folded(*args)
+    ggot = jax.grad(loss, argnums=(0, 1))(xf, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    _tree_allclose(ggot, gref, 1e-4, 1e-4)
+
+
+def test_folded_row_sums_dot_matches_reduce(monkeypatch):
+    """ATK_MOMENTS=dot (ones-vector dot_general over H) must reproduce the
+    reduce formulation's fp32 row sums, masked and unmasked."""
+    from anatomask_tpu.ops.moments import folded_row_sums
+    rng = np.random.RandomState(1)
+    x = jnp.array(rng.randn(8, 6, 10, 5).astype(np.float32))
+    m = jnp.array((rng.rand(8, 6, 10, 1) > 0.5).astype(np.float32))
+    for mx in (None, m):
+        monkeypatch.setenv("ATK_MOMENTS", "reduce")
+        s0, ss0 = folded_row_sums(x, mx)
+        monkeypatch.setenv("ATK_MOMENTS", "dot")
+        s1, ss1 = folded_row_sums(x, mx)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ss1), np.asarray(ss0), rtol=1e-5, atol=1e-5)
+
+
+def test_folded_instancenorm_uses_row_sums(monkeypatch):
+    """The folded InstanceNorm must agree with the unfolded path after the
+    row-sum refactor (both ATK_MOMENTS modes)."""
+    from anatomask_tpu.models.layers import InstanceNorm
+    rng = np.random.RandomState(2)
+    b, d, h, w, c = 2, 4, 5, 6, 3
+    x5 = jnp.array(rng.randn(b, d, h, w, c).astype(np.float32))
+    ref = InstanceNorm().init_with_output(jax.random.PRNGKey(0), x5)[0]
+    xf = x5.reshape(b * d, h, w, c)
+    for mode in ("reduce", "dot"):
+        monkeypatch.setenv("ATK_MOMENTS", mode)
+        got = InstanceNorm(folded_depth=d).init_with_output(
+            jax.random.PRNGKey(0), xf)[0]
+        np.testing.assert_allclose(np.asarray(got).reshape(b, d, h, w, c),
+                                   np.asarray(ref), rtol=2e-5, atol=2e-5)
