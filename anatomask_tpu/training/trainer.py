@@ -297,6 +297,15 @@ class Trainer:
                 promote_2d_configuration(self.configuration_manager.configuration))
         self.fold = fold
         self.dataset_json = dataset_json
+        # smoke-test overrides: shrink epochs without a dedicated preset
+        # (reference analog: nnUNetTrainer subclasses overriding
+        # num_iterations_per_epoch for debugging)
+        if os.environ.get("ATK_ITERS_PER_EPOCH"):
+            config = replace(
+                config, num_iterations_per_epoch=int(os.environ["ATK_ITERS_PER_EPOCH"]))
+        if os.environ.get("ATK_VAL_ITERS"):
+            config = replace(
+                config, num_val_iterations_per_epoch=int(os.environ["ATK_VAL_ITERS"]))
         self.cfg = config
         self.label_manager = self.plans_manager.get_label_manager(dataset_json)
 
