@@ -33,7 +33,8 @@ def folded_row_sums(x: jnp.ndarray, mx: Optional[jnp.ndarray] = None
     """
     n, h, w, c = x.shape
     xm = x if mx is None else x * mx
-    if os.environ.get("ATK_MOMENTS", "reduce") == "dot":
+    mode = os.environ.get("ATK_MOMENTS", "reduce")
+    if mode == "dot":
         stacked = jnp.concatenate([xm, x * xm], axis=-1)      # (N, H, W, 2C)
         ones = jnp.ones((1, h), x.dtype)
         # contract H: (1, H) x (N, H, W*2C) -> (1, N, W*2C), fp32 accumulate
@@ -42,6 +43,16 @@ def folded_row_sums(x: jnp.ndarray, mx: Optional[jnp.ndarray] = None
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         red = red.reshape(n, w, 2 * c).sum(1, dtype=jnp.float32)
+        return red[:, :c], red[:, c:]
+    if mode == "dot_hw":
+        # contract the full H*W extent in ONE dot: (1, HW) x (N, HW, 2C)
+        stacked = jnp.concatenate([xm, x * xm], axis=-1)      # (N, H, W, 2C)
+        ones = jnp.ones((1, h * w), x.dtype)
+        red = jax.lax.dot_general(
+            ones, stacked.reshape(n, h * w, 2 * c),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        red = red.reshape(n, 2 * c)
         return red[:, :c], red[:, c:]
     s = jnp.sum(xm, (1, 2), dtype=jnp.float32)
     ss = jnp.sum(x * xm, (1, 2), dtype=jnp.float32)

@@ -81,6 +81,27 @@ def moments_dot(x, mx, depth):
     return mean, var
 
 
+def moments_dot_hw(x, mx, depth):
+    """One dot over the merged H*W extent: (1, HW) x (N, HW, 2C)."""
+    n, h, w, c = x.shape
+    b = n // depth
+    xm = x * mx
+    stacked = jnp.concatenate([xm, x * xm], axis=-1)
+    ones = jnp.ones((1, h * w), dtype=x.dtype)
+    red = jax.lax.dot_general(
+        ones, stacked.reshape(n, h * w, 2 * c),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    red = red.reshape(n, 2 * c)
+    s_r, ss_r = red[:, :c], red[:, c:]
+    cnt_r = jnp.sum(mx, (1, 2), dtype=jnp.float32)
+    cnt = jnp.maximum(cnt_r.reshape(b, depth).sum(1), 1.0)[:, None]
+    mean = s_r.reshape(b, depth, c).sum(1) / cnt
+    mean_sq = ss_r.reshape(b, depth, c).sum(1) / cnt
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
+    return mean, var
+
+
 def moments_stacked_reduce(x, mx, depth):
     """One reduce over a stacked last dim: forces a single pass, two outputs."""
     n, h, w, c = x.shape
@@ -115,6 +136,7 @@ def moments_wfirst(x, mx, depth):
 VARIANTS = {
     "shipped": moments_shipped,
     "dot": moments_dot,
+    "dot_hw": moments_dot_hw,
     "stacked_reduce": moments_stacked_reduce,
     "wfirst": moments_wfirst,
 }

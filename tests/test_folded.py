@@ -213,10 +213,11 @@ def test_folded_row_sums_dot_matches_reduce(monkeypatch):
     for mx in (None, m):
         monkeypatch.setenv("ATK_MOMENTS", "reduce")
         s0, ss0 = folded_row_sums(x, mx)
-        monkeypatch.setenv("ATK_MOMENTS", "dot")
-        s1, ss1 = folded_row_sums(x, mx)
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5)
-        np.testing.assert_allclose(np.asarray(ss1), np.asarray(ss0), rtol=1e-5, atol=1e-5)
+        for mode in ("dot", "dot_hw"):
+            monkeypatch.setenv("ATK_MOMENTS", mode)
+            s1, ss1 = folded_row_sums(x, mx)
+            np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-5, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ss1), np.asarray(ss0), rtol=1e-5, atol=1e-5)
 
 
 def test_folded_instancenorm_uses_row_sums(monkeypatch):
