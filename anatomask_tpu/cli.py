@@ -231,14 +231,22 @@ def predict_entry(argv: Optional[List[str]] = None):
     p.add_argument("-num_parts", type=int, default=1)
     p.add_argument("-part_id", type=int, default=0)
     p.add_argument("-prev_stage_predictions", default=None)
+    # reference parity: predict_from_raw_data runs under torch.autocast
+    # (half-precision tiles); bf16 tile compute with fp32 Gaussian
+    # accumulation is the TPU analog and ~matches the training dtype
+    p.add_argument("-compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
     a = p.parse_args(argv)
 
+    import jax.numpy as jnp
     from anatomask_tpu.inference.predictor import Predictor
     from anatomask_tpu.paths import require
     from anatomask_tpu.utils.helpers import maybe_convert_to_dataset_name
     name = maybe_convert_to_dataset_name(a.d)
     model_dir = os.path.join(require("results"), name, f"{a.tr}__{a.p}__{a.c}")
-    predictor = Predictor(tile_step_size=a.step_size, use_mirroring=not a.disable_tta)
+    predictor = Predictor(tile_step_size=a.step_size, use_mirroring=not a.disable_tta,
+                          dtype=jnp.bfloat16 if a.compute_dtype == "bfloat16"
+                          else jnp.float32)
     folds = None if a.f is None else [f if f == "all" else int(f) for f in a.f]
     predictor.initialize_from_trained_model_folder(model_dir, folds, a.chk)
     predictor.predict_from_files(
