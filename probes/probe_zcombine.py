@@ -41,21 +41,20 @@ from anatomask_tpu.ops.conv_lowering import (conv3d_zconcat_folded,
                                              shift_folded_rows)
 
 
-def timeit(fn, args, iters=10):
-    jf = jax.jit(fn)
-    out = jf(*args)
-    float(jnp.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[0].astype(jnp.float32))
-
+def timeit(step, x0, iters=10):
+    """Chained fori_loop timing: `step` maps the carry x -> next x, so each
+    iteration DEPENDS on the previous one (a body that ignores the carry is
+    loop-invariant and XLA hoists it — the first run of this probe measured
+    fwd+bwd "faster" than fwd that way)."""
     @jax.jit
-    def chain(*a):
-        def body(i, acc):
-            out = fn(*a)
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return acc + leaf.ravel()[0].astype(jnp.float32) * 1e-9
-        return jax.lax.fori_loop(0, iters, body, 0.0)
+    def chain(c):
+        return jax.lax.fori_loop(0, iters, lambda i, c: step(c), c)
 
-    r = chain(*args); float(r)
-    t0 = time.perf_counter(); r = chain(*args); float(r)
+    r = chain(x0)
+    float(jnp.asarray(r).ravel()[0].astype(jnp.float32))
+    t0 = time.perf_counter()
+    r = chain(x0)
+    float(jnp.asarray(r).ravel()[0].astype(jnp.float32))
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -118,7 +117,7 @@ def instnorm_folded(x, depth):
     return ((x.astype(jnp.float32) - mean_r) * scale_r).astype(x.dtype)
 
 
-def make_stage(conv_fn, depth):
+def make_stage(conv_fn, depth, k1, k2):
     def stage(xf, k1, k2):
         y = conv_fn(xf, depth, k1)
         y = jax.nn.leaky_relu(instnorm_folded(y, depth), 0.01)
@@ -126,16 +125,21 @@ def make_stage(conv_fn, depth):
         y = jax.nn.leaky_relu(instnorm_folded(y, depth), 0.01)
         return y
 
-    def fwd(xf, k1, k2):
-        return stage(xf, k1, k2)
+    # C == F for every probed shape, so the stage output chains as the next
+    # input (IN + lrelu keeps magnitudes bounded across iterations).
+    def fwd_step(xc):
+        return stage(xc, k1, k2)
 
-    def fwdbwd(xf, k1, k2):
-        def loss(k1, k2):
-            return jnp.sum(stage(xf, k1, k2).astype(jnp.float32) ** 2) * 1e-9
+    def fwdbwd_step(xc):
+        def loss(k1_, k2_):
+            return jnp.sum(stage(xc, k1_, k2_).astype(jnp.float32) ** 2) * 1e-9
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(k1, k2)
-        return l + g[0].ravel()[0].astype(jnp.float32)
+        sig = (l + g[0].ravel()[0] + g[1].ravel()[0]).astype(xc.dtype)
+        # data-dependent no-op perturbation: forces the loop-carried
+        # dependency without changing xc (1 + tiny rounds to 1 in bf16)
+        return xc * (1 + sig * 1e-24)
 
-    return fwd, fwdbwd
+    return stage, fwd_step, fwdbwd_step
 
 
 VARIANTS = {
@@ -145,11 +149,14 @@ VARIANTS = {
 }
 
 # (name, folded shape (B*D, H, W, C), depth, F)
-SHAPES = [
-    ("enc0", (4 * 112, 112, 128, 32), 112, 32),
-    ("dec3", (4 * 112, 112, 128, 32), 112, 32),   # LightDecoder top stage
-    ("dec3_64", (4 * 112, 112, 128, 64), 112, 64),
-]
+if os.environ.get("ATK_PROBE_SMOKE", "0") == "1":  # CPU exactness smoke
+    SHAPES = [("smoke", (2 * 6, 8, 10, 4), 6, 4)]
+else:
+    SHAPES = [
+        ("enc0", (4 * 112, 112, 128, 32), 112, 32),
+        ("dec3", (4 * 112, 112, 128, 32), 112, 32),   # LightDecoder top stage
+        ("dec3_64", (4 * 112, 112, 128, 64), 112, 64),
+    ]
 
 
 def main():
@@ -166,14 +173,19 @@ def main():
                          dtype=jnp.bfloat16)
         ref = None
         for vname, conv_fn in VARIANTS.items():
-            fwd, fwdbwd = make_stage(conv_fn, depth)
-            out = np.asarray(jax.jit(fwd)(x, k1, k2), np.float32)
-            if ref is None:
-                ref = out
-            else:
-                np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
-            t_f = timeit(fwd, (x, k1, k2))
-            t_fb = timeit(fwdbwd, (x, k1, k2))
+            stage, fwd_step, fwdbwd_step = make_stage(conv_fn, depth, k1, k2)
+            try:
+                out = np.asarray(jax.jit(stage)(x, k1, k2), np.float32)
+                if ref is None:
+                    ref = out
+                else:
+                    np.testing.assert_allclose(out, ref, rtol=5e-2, atol=5e-2)
+                t_f = timeit(fwd_step, x)
+                t_fb = timeit(fwdbwd_step, x)
+            except Exception as e:  # HBM OOM at the biggest shape etc.
+                print(json.dumps({"shape": name, "variant": vname,
+                                  "error": str(e)[:200]}), flush=True)
+                continue
             print(json.dumps({"shape": name, "variant": vname,
                               "fwd_ms": round(t_f, 2),
                               "fwdbwd_ms": round(t_fb, 2)}), flush=True)
