@@ -141,10 +141,30 @@ def conv3d_zconcat_folded(
     plus the boundary reshapes); exposing the folded form lets stride-1 stages
     chain conv -> norm -> act -> conv entirely in the 2D emitter's layout with
     no 5D round-trips (the 141 ms/step of 'data formatting' relayouts in the
-    round-2 profile, PLAN.md)."""
+    round-2 profile, PLAN.md).
+
+    Two exact tap placements (ATK_ZCONCAT_SIDE):
+    - "input" (default): z-shifted channel concat on the INPUT — one conv
+      with kz*C input channels and NO post-combine at all; the tap shifts
+      ride the conv's operand fetch instead of a separate full-bandwidth
+      output pass. Measured 1.6x fwd / 1.06x fwd+bwd over the output stack
+      at the hot bench shapes (probes/probe_zcombine.py).
+    - "output": output channels stack the kz taps, combined by masked row
+      shifts (combine_ztaps_folded) — the round-2 formulation.
+    Both are pure re-associations of the same sums (tests/test_folded.py)."""
     kz = kernel.shape[0]
     _, sy, sx = strides
     (pz0, pz1), py, px = padding
+    if os.environ.get("ATK_ZCONCAT_SIDE", "input") == "input" and kz > 1:
+        # tap dz of the conv reads input row z + dz - pz0
+        xs = jnp.concatenate(
+            [shift_folded_rows(xf, dz - pz0, depth) for dz in range(kz)],
+            axis=-1)
+        # (ky, kx, kz*C, F): taps stack along the INPUT-channel dim
+        w_in = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=2)
+        return jax.lax.conv_general_dilated(
+            xs, w_in, (sy, sx), (py, px),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     # (ky, kx, C, kz*F), tap-major blocks of F output channels
     w_all = jnp.concatenate([kernel[dz] for dz in range(kz)], axis=-1)
     y = jax.lax.conv_general_dilated(
