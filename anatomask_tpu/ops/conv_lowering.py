@@ -144,18 +144,19 @@ def conv3d_zconcat_folded(
     round-2 profile, PLAN.md).
 
     Two exact tap placements (ATK_ZCONCAT_SIDE):
-    - "input" (default): z-shifted channel concat on the INPUT — one conv
-      with kz*C input channels and NO post-combine at all; the tap shifts
-      ride the conv's operand fetch instead of a separate full-bandwidth
-      output pass. Measured 1.6x fwd / 1.06x fwd+bwd over the output stack
-      at the hot bench shapes (probes/probe_zcombine.py).
-    - "output": output channels stack the kz taps, combined by masked row
-      shifts (combine_ztaps_folded) — the round-2 formulation.
+    - "output" (default): output channels stack the kz taps, combined by
+      masked row shifts (combine_ztaps_folded) — the round-2 formulation.
+    - "input" (opt-in): z-shifted channel concat on the INPUT — one conv
+      with kz*C input channels and NO post-combine at all. Wins isolated
+      (1.6x fwd enc0-shape, probes/probe_zcombine.py) but MATERIALIZES a
+      kz-fold copy of every conv input: the bs-4 bench workload then
+      exceeds 16G HBM by 200 MB at compile time (noremat config), so the
+      default stays output-side. Revisit only with microbatching/remat.
     Both are pure re-associations of the same sums (tests/test_folded.py)."""
     kz = kernel.shape[0]
     _, sy, sx = strides
     (pz0, pz1), py, px = padding
-    if os.environ.get("ATK_ZCONCAT_SIDE", "input") == "input" and kz > 1:
+    if os.environ.get("ATK_ZCONCAT_SIDE", "output") == "input" and kz > 1:
         # tap dz of the conv reads input row z + dz - pz0
         xs = jnp.concatenate(
             [shift_folded_rows(xf, dz - pz0, depth) for dz in range(kz)],
