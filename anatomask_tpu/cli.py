@@ -431,6 +431,11 @@ def convert_challenge_entry(argv: Optional[List[str]] = None):
     sp.add_argument("-d", type=int, default=137)
     sp.add_argument("--no_regions", action="store_true",
                     help="plain 3-class labels instead of BraTS regions")
+    sp = sub.add_parser("brats_convert_back",
+                        help="convert predictions back to the BraTS labeling "
+                             "convention for submission")
+    sp.add_argument("input_folder")
+    sp.add_argument("output_folder")
     a = p.parse_args(argv)
     from anatomask_tpu.dataset_conversion import convert_challenges as cc
     if a.task == "kits23":
@@ -460,6 +465,10 @@ def convert_challenge_entry(argv: Optional[List[str]] = None):
     elif a.task == "brats_regions":
         from anatomask_tpu.dataset_conversion.convert_brats import convert_brats_dataset
         convert_brats_dataset(a.input_folder, a.d, use_regions=not a.no_regions)
+    elif a.task == "brats_convert_back":
+        from anatomask_tpu.dataset_conversion.convert_brats import (
+            convert_folder_back_to_brats)
+        convert_folder_back_to_brats(a.input_folder, a.output_folder)
 
 
 def plot_overlay_pngs_entry(argv: Optional[List[str]] = None):

@@ -68,6 +68,13 @@ class PretrainConfig:
     batch_size: int = 4
     mask_ratio: float = 0.6
     densify_norm: str = "in"
+    # LightDecoder norm: the reference builds its decoder with BatchNorm3d
+    # (pretrain_AntoMask.py:212 LightDecoder(..., sbn=False) -> nn.BatchNorm3d,
+    # decoder3D.py:44-47). Our default is "in" (per-sample): it makes
+    # microbatch grad accumulation exact and is what all shipped perf/accuracy
+    # numbers use; pass "bn" for reference-exact decoder semantics
+    # (tests/test_reference_parity.py pins full-model equality in that mode).
+    decoder_norm: str = "in"
     decoder_width: Optional[int] = None  # default: encoder top width
     num_epochs: int = 1000
     iters_per_epoch: Optional[int] = None  # default floor(n_train / batch)
@@ -112,7 +119,7 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
         n = cfg.encoder_dims[0] if cfg.encoder_dims else 32
         enc = SparseMedNeXtEncoder(n_channels=n, dtype=dtype0, remat=cfg.remat)
         dec_width = cfg.decoder_width or enc.get_feature_map_channels()[-1]
-        dec = LightDecoder(up_sample_ratio=16, width=dec_width, norm="in",
+        dec = LightDecoder(up_sample_ratio=16, width=dec_width, norm=cfg.decoder_norm,
                            out_channels=in_channels, dtype=dtype0, remat=cfg.remat)
         return SparK(sparse_encoder=enc, dense_decoder=dec,
                      input_size=tuple(cfg.patch_size), mask_ratio=cfg.mask_ratio,
@@ -130,8 +137,9 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
     enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat,
                               folded_feats=True, len_keep=len_keep)
     dec_width = cfg.decoder_width or dims[-1]
-    dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width, norm="in",
-                       out_channels=in_channels, dtype=dtype, remat=remat)
+    dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width,
+                       norm=cfg.decoder_norm, out_channels=in_channels,
+                       dtype=dtype, remat=remat)
     return SparK(
         sparse_encoder=enc, dense_decoder=dec, input_size=tuple(cfg.patch_size),
         mask_ratio=cfg.mask_ratio, densify_norm=cfg.densify_norm, dtype=dtype,

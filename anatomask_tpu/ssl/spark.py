@@ -115,13 +115,18 @@ class SparK(nn.Module):
         }
 
     def _densify_norm(self, name: str, dd: dict, folded_depth=None):
+        # epsilons follow the reference densify layers (AnatoMask.py:45-54):
+        # SparseInstanceNorm / SparseConvNeXtLayerNorm default eps=1e-6
+        # (encoder3D.py:144,187), SparseBatchNorm3d = BatchNorm1d eps=1e-5.
         kind = self.densify_norm.lower()
         if kind == "bn":
             return SparseBatchNorm(name=name, folded_depth=folded_depth, **dd)
         if kind == "ln":
-            return SparseLayerNorm(name=name, folded_depth=folded_depth, **dd)
+            return SparseLayerNorm(name=name, epsilon=1e-6,
+                                   folded_depth=folded_depth, **dd)
         if kind == "in":
-            return SparseInstanceNorm(name=name, folded_depth=folded_depth, **dd)
+            return SparseInstanceNorm(name=name, epsilon=1e-6,
+                                      folded_depth=folded_depth, **dd)
         return None  # identity
 
     @nn.compact

@@ -191,8 +191,77 @@ def convert_torch_stunet_state_dict(state_dict: dict) -> dict:
     return tree
 
 
+def convert_torch_spark_state_dict(state_dict: dict) -> dict:
+    """Convert a FULL reference torch SparK pretraining state_dict (AnatoMask.py
+    :14-77: sparse_encoder.sp_cnn STUNet head + densify_norms/densify_projs/
+    mask_tokens + dense_decoder LightDecoder, decoder3D.py:13-53) into the flax
+    param tree of anatomask_tpu.ssl.spark.SparK.
+
+    Conv kernels: torch (O, I, kz, ky, kx) -> DHWIO. ConvTranspose kernels:
+    torch (I, O, k, k, k) -> transpose to (k, k, k, I, O) + SPATIAL FLIP
+    (lax.conv_transpose correlates with the un-flipped kernel; torch computes
+    the true conv gradient). BatchNorm running stats / num_batches_tracked are
+    dropped (our decoder norms are training-mode). Densify projs that are
+    nn.Identity simply have no keys. Handles DDP 'module.' prefixes."""
+    tree: dict = {}
+
+    def put(path, arr):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(arr)
+
+    enc_state = {}
+    for key, val in state_dict.items():
+        arr = _np(val)
+        k = _strip_wrappers(key)
+        parts = k.split(".")
+        if parts[0] == "sparse_encoder":
+            enc_state[k] = arr  # handled by the STUNet adapter below
+        elif parts[0] == "densify_norms":
+            i, pname = parts[1], parts[2]
+            put([f"densify_norm{i}", "scale" if pname == "weight" else "bias"], arr)
+        elif parts[0] == "densify_projs":
+            i, pname = parts[1], parts[2]
+            if pname == "weight":
+                put([f"densify_proj{i}", "conv", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+            else:
+                put([f"densify_proj{i}", "conv", "bias"], arr)
+        elif parts[0] == "mask_tokens":
+            put([f"mask_token{parts[1]}"], arr.reshape(-1))
+        elif parts[0] == "dense_decoder":
+            if parts[1] == "proj":
+                if parts[2] == "weight":
+                    put(["dense_decoder", "proj", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+                else:
+                    put(["dense_decoder", "proj", "bias"], arr)
+            elif parts[1] == "dec":
+                i, layer = parts[2], parts[3]
+                base = ["dense_decoder", f"dec{i}"]
+                if layer == "up_sample":
+                    if parts[4] == "weight":
+                        put(base + ["up_sample", "conv", "kernel"],
+                            np.flip(arr.transpose(2, 3, 4, 0, 1), (0, 1, 2)).copy())
+                    else:
+                        put(base + ["up_sample", "conv", "bias"], arr)
+                elif layer == "conv":
+                    # Sequential indices: 0 conv, 1 norm, 2 relu6, 3 conv, 4 norm
+                    idx, pname = int(parts[4]), parts[5]
+                    if pname in ("running_mean", "running_var", "num_batches_tracked"):
+                        continue
+                    if idx in (0, 3):
+                        put(base + [f"conv{idx // 3}", "kernel"], arr.transpose(2, 3, 4, 1, 0))
+                    elif idx in (1, 4):
+                        put(base + [f"norm{idx // 3}",
+                                    "scale" if pname == "weight" else "bias"], arr)
+    if enc_state:
+        tree["sparse_encoder"] = convert_torch_stunet_state_dict(enc_state)
+    return tree
+
+
 def _np(val) -> np.ndarray:
-    return np.asarray(getattr(val, "numpy", lambda: val)())
+    arr = getattr(val, "detach", lambda: val)()
+    return np.asarray(getattr(arr, "numpy", lambda: arr)())
 
 
 def _strip_wrappers(key: str) -> str:

@@ -42,6 +42,35 @@ def generate_training_commands(
     return cmds
 
 
+def wrap_commands_for_scheduler(
+    cmds: Sequence[str],
+    scheduler: str = "lsf",
+    scheduler_args: str = "",
+    preamble: str = "",
+) -> List[str]:
+    """Wrap plain `atk_train ...` command lines in cluster-scheduler
+    submissions, matching the reference's LSF emission shape
+    (/root/reference/nnunetv2/batch_running/generate_lsf_runs_customDecathlon.py:82-85:
+    `bsub <resources/queue/gpu args> -L /bin/bash "source <env> && <cmd>"`).
+
+    scheduler: "lsf" -> bsub lines, "slurm" -> sbatch --wrap lines,
+    "none" -> the commands unchanged (the scheduler-agnostic default the
+    generators emit). scheduler_args: resource/queue flags pasted verbatim
+    after the scheduler binary (the reference hardcodes DKFZ host excludes +
+    `-q gpu-lowprio -gpu num=1:...`; TPU pools name accelerators in their own
+    flags, so this stays caller-supplied). preamble: environment-setup shell
+    (e.g. "source ~/env.sh && ") prefixed inside the submitted command.
+    """
+    if scheduler in ("none", ""):
+        return list(cmds)
+    sa = f" {scheduler_args}" if scheduler_args else ""
+    if scheduler == "lsf":
+        return [f'bsub{sa} -L /bin/bash "{preamble}{c}"' for c in cmds]
+    if scheduler == "slurm":
+        return [f'sbatch{sa} --wrap "{preamble}{c}"' for c in cmds]
+    raise ValueError(f"unknown scheduler {scheduler!r} (lsf|slurm|none)")
+
+
 def generate_benchmark_commands(datasets: Sequence, configurations=("2d", "3d_fullres")) -> List[str]:
     cmds = []
     for tr in ("ATKTrainerBenchmark_5epochs", "ATKTrainerBenchmark_5epochs_noDataLoading"):

@@ -1,0 +1,68 @@
+"""VERDICT r3 ask #6: the TPU supervised 5-epoch benchmark artifact
+(reference protocol: nnUNetTrainerBenchmark_5epochs[_noDataLoading] — fastest
+epoch of 5 written to benchmark_result.json keyed by software/device,
+/root/reference/documentation/benchmarking.md:7-19).
+
+Runs BOTH benchmark trainers on the plans-default 3d_fullres configuration of
+the accuracy-loop dataset (one axon process at a time; run after any other TPU
+job finishes) and copies the merged benchmark_result.json to the repo root as
+BENCH_supervised_r04.json with a session-bandwidth note.
+
+Env: BM_ITERS (default 250, reference constant; smoke-test with e.g. 25),
+BM_VAL_ITERS (default 50), BM_HARD=1 to use the hard dataset (default: 1,
+shares preprocessing with the accuracy loop).
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+os.environ.setdefault("ACC_HARD", os.environ.get("BM_HARD", "1"))
+sys.path.insert(0, os.path.dirname(__file__))
+import accuracy_loop  # noqa: E402  (sets ATK_* env + jax cache config)
+
+from dataclasses import replace  # noqa: E402
+
+
+def main():
+    accuracy_loop.make_data()
+    import jax
+    import numpy as np
+    from anatomask_tpu.plans.plans_handler import load_json
+    from anatomask_tpu.training.trainer import TRAINER_PRESETS, Trainer
+
+    pp = f"/tmp/acc/pp/{accuracy_loop.DSET}"
+    dataset_json = load_json(os.path.join(pp, "dataset.json"))
+    iters = int(os.environ.get("BM_ITERS", "250"))
+    val_iters = int(os.environ.get("BM_VAL_ITERS", "50"))
+    results = {}
+    for preset in ("ATKTrainerBenchmark_5epochs_noDataLoading",
+                   "ATKTrainerBenchmark_5epochs"):
+        cfg = replace(TRAINER_PRESETS[preset],
+                      num_iterations_per_epoch=iters,
+                      num_val_iterations_per_epoch=val_iters,
+                      # plans memory targets model torch's allocator; the jit
+                      # step needs remat at plans-sized patches on 16G (CLAUDE.md)
+                      remat=True, num_workers=4)
+        tr = Trainer(os.path.join(pp, "ATKPlans.json"), "3d_fullres", 0,
+                     dataset_json, cfg)
+        tr.disable_checkpointing = True
+        t0 = time.time()
+        tr.run_training()
+        out_file = os.path.join(tr.output_folder, "benchmark_result.json")
+        results[preset] = load_json(out_file)
+        results[preset]["wall_s_total"] = round(time.time() - t0, 1)
+        results[preset]["iters_per_epoch"] = iters
+        results[preset]["patch_size"] = list(tr.configuration_manager.patch_size)
+        results[preset]["batch_size"] = int(tr.global_batch_size)
+        print(f"{preset}: {json.dumps(results[preset])}", flush=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_supervised_r04.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

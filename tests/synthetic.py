@@ -65,6 +65,89 @@ def make_synthetic_dataset(
     return ds_dir, dataset_json
 
 
+def make_hard_synthetic_dataset(
+    root: str,
+    dataset_name: str = "Dataset956_Hard",
+    num_cases: int = 16,
+    shape=(128, 132, 144),
+    spacing=(1.0, 1.0, 1.0),
+    seed: int = 0,
+):
+    """A HARDER synthetic segmentation task (VERDICT r3 ask #7: the blob task
+    saturates at Dice ~0.5 for every arm). Design goals: converged Dice should
+    separate feature quality, not just optimization speed:
+
+    - 4 foreground classes defined by argmax over smoothed random fields ->
+      irregular interlocking regions with complex boundaries (classes 1-3);
+    - class 4 is the THIN SHELL (1-2 voxels) between foreground regions and
+      background — thin-structure sensitivity;
+    - intensity carries NO per-class mean offset: all classes share the same
+      base intensity and differ only in TEXTURE (class-specific spatial
+      band-pass noise) buried under global noise of comparable amplitude, so
+      voxel-wise intensity thresholds cannot solve the task — local texture
+      features (what MIM pretraining learns) can.
+    """
+    rng = np.random.RandomState(seed)
+    ds_dir = os.path.join(root, dataset_name)
+    os.makedirs(os.path.join(ds_dir, "imagesTr"), exist_ok=True)
+    os.makedirs(os.path.join(ds_dir, "labelsTr"), exist_ok=True)
+    os.makedirs(os.path.join(ds_dir, "imagesTs"), exist_ok=True)
+
+    def smooth_field(rng, shape, sigma):
+        from scipy.ndimage import gaussian_filter
+        f = gaussian_filter(rng.randn(*shape).astype(np.float32), sigma)
+        return (f - f.mean()) / (f.std() + 1e-6)
+
+    n_fg = 3
+    for i in range(num_cases):
+        crng = np.random.RandomState(seed + 1000 + i)
+        fields = np.stack([smooth_field(crng, shape, sigma=9) for _ in range(n_fg)])
+        amax = fields.argmax(0)
+        fg = fields.max(0) > 0.55  # ~25-35% foreground
+        seg = np.where(fg, amax + 1, 0).astype(np.uint8)
+        # thin shell (class 4): voxels adjacent (6-neighborhood) to a DIFFERENT
+        # label — 1-2 voxel interfaces between regions and against background
+        boundary = np.zeros(shape, dtype=bool)
+        for axis in range(3):
+            d = np.diff(seg, axis=axis) != 0
+            pad = [(0, 0)] * 3
+            pad[axis] = (0, 1)
+            boundary |= np.pad(d, pad)
+            pad[axis] = (1, 0)
+            boundary |= np.pad(d, pad)
+        shell = boundary & fg
+        seg[shell] = n_fg + 1
+
+        # texture-only contrast: per-class band-pass noise, identical mean
+        base = 60.0 + 8.0 * smooth_field(crng, shape, sigma=16)
+        tex_scales = {1: 1, 2: 2, 3: 4, 4: 1}
+        img = base.copy()
+        for lab, sc in tex_scales.items():
+            tex = smooth_field(crng, shape, sigma=sc)
+            m = seg == lab
+            img[m] += 10.0 * tex[m] * (1.5 if lab == 4 else 1.0)
+        img += 7.0 * crng.randn(*shape).astype(np.float32)  # global noise
+
+        name = f"case_{i:03d}"
+        write_nifti(os.path.join(ds_dir, "imagesTr", f"{name}_0000.nii.gz"),
+                    img.astype(np.float32).transpose(2, 1, 0),
+                    spacing_xyz=spacing[::-1])
+        write_nifti(os.path.join(ds_dir, "labelsTr", f"{name}.nii.gz"),
+                    seg.transpose(2, 1, 0), spacing_xyz=spacing[::-1])
+
+    labels = {"background": 0, "regionA": 1, "regionB": 2, "regionC": 3,
+              "shell": 4}
+    dataset_json = {
+        "channel_names": {"0": "CT"},
+        "labels": labels,
+        "numTraining": num_cases,
+        "file_ending": ".nii.gz",
+    }
+    with open(os.path.join(ds_dir, "dataset.json"), "w") as f:
+        json.dump(dataset_json, f)
+    return ds_dir, dataset_json
+
+
 def setup_env(tmp_path):
     """Point ATK_raw/preprocessed/results into tmp_path; returns the three dirs."""
     raw = os.path.join(str(tmp_path), "raw")

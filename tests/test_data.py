@@ -130,3 +130,29 @@ def test_case_shape_header_peek(tmp_path):
     assert tuple(ds.case_shape("case0")) == d.shape  # npz header path
     np.save(tmp_path / "case0.npy", d)
     assert tuple(ds.case_shape("case0")) == d.shape  # npy header path
+
+
+def test_hard_synthetic_task_has_texture_only_contrast(tmp_path):
+    """The round-4 hard accuracy task (probes/accuracy_loop.py ACC_HARD=1):
+    4 fg classes + thin shell, class intensity MEANS overlap (no voxel-wise
+    threshold solves it) while per-class texture spread differs."""
+    from synthetic import make_hard_synthetic_dataset
+    from anatomask_tpu.imageio.nifti import read_nifti
+    ds, dsj = make_hard_synthetic_dataset(str(tmp_path), "Dataset957_HardT",
+                                          num_cases=1, shape=(48, 50, 52),
+                                          seed=5)
+    seg, _ = read_nifti(os.path.join(ds, "labelsTr", "case_000.nii.gz"))
+    img, _ = read_nifti(os.path.join(ds, "imagesTr", "case_000_0000.nii.gz"))
+    labs = set(np.unique(seg))
+    assert labs == {0, 1, 2, 3, 4}
+    assert len(dsj["labels"]) == 5
+    # every class present with nontrivial mass; the shell is thin (smallest)
+    counts = {int(l): int((seg == l).sum()) for l in labs}
+    assert all(c > 200 for c in counts.values())
+    assert counts[4] < counts[0]
+    # intensity means overlap across classes relative to in-class spread:
+    # max mean gap < 1 std -> thresholding cannot separate any pair
+    means = {l: float(img[seg == l].mean()) for l in labs}
+    stds = {l: float(img[seg == l].std()) for l in labs}
+    gap = max(means.values()) - min(means.values())
+    assert gap < min(stds.values()), (means, stds)

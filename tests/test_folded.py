@@ -203,6 +203,35 @@ def test_combine_ztaps_conv_matches_shift(monkeypatch):
     _tree_allclose(ggot, gref, 1e-4, 1e-4)
 
 
+@pytest.mark.parametrize("strides,pad", [
+    ((1, 1, 1), ((1, 1), (1, 1), (1, 1))),
+    ((1, 2, 2), ((1, 1), (1, 1), (1, 1))),
+])
+def test_zconcat_input_side_matches_output_side(monkeypatch, strides, pad):
+    """ATK_ZCONCAT_SIDE=input (z-shifted channel concat on the INPUT, no
+    post-combine) must equal the shipped output-side tap stacking, values and
+    grads — it is a pure re-association of the same sums. The input side is
+    opt-in only (OOMs the bs-4 bench workload, conv_lowering.py:146-154) so no
+    model test exercises it; this pins the math directly."""
+    from anatomask_tpu.ops.conv_lowering import conv3d_zconcat_folded
+    rng = np.random.RandomState(1)
+    depth, b, h, w, c, f = 6, 2, 6, 8, 3, 4
+    xf = jnp.array(rng.randn(b * depth, h, w, c).astype(np.float32))
+    k = jnp.array(rng.randn(3, 3, 3, c, f).astype(np.float32) * 0.1)
+
+    def loss(xf, k):
+        return jnp.sum(conv3d_zconcat_folded(xf, depth, k, strides, pad) ** 2)
+
+    monkeypatch.setenv("ATK_ZCONCAT_SIDE", "output")
+    ref = conv3d_zconcat_folded(xf, depth, k, strides, pad)
+    gref = jax.grad(loss, argnums=(0, 1))(xf, k)
+    monkeypatch.setenv("ATK_ZCONCAT_SIDE", "input")
+    got = conv3d_zconcat_folded(xf, depth, k, strides, pad)
+    ggot = jax.grad(loss, argnums=(0, 1))(xf, k)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+    _tree_allclose(ggot, gref, 1e-4, 1e-4)
+
+
 def test_folded_row_sums_dot_matches_reduce(monkeypatch):
     """ATK_MOMENTS=dot (ones-vector dot_general over H) must reproduce the
     reduce formulation's fp32 row sums, masked and unmasked."""

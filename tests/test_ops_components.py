@@ -183,15 +183,56 @@ def test_convert_brats_style(tmp_path, rng):
         seg = np.zeros((8, 9, 10), dtype=np.uint8)
         seg[2:4] = 1; seg[4:5] = 2; seg[5:6] = 4  # BraTS label 4
         write_nifti(str(d / f"{case}_seg.nii.gz"), seg)
-    from anatomask_tpu.dataset_conversion.convert_brats import convert_brats_dataset
+    from anatomask_tpu.dataset_conversion.convert_brats import (
+        convert_brats_dataset, convert_folder_back_to_brats,
+        convert_labels_back_to_brats, remap_brats_labels)
     out = convert_brats_dataset(str(src), 937, "BraTSTest")
     assert len(os.listdir(os.path.join(out, "imagesTr"))) == 8  # 2 cases x 4 mods
     from anatomask_tpu.imageio.nifti import read_nifti
     seg_out, _ = read_nifti(os.path.join(out, "labelsTr", "BraTS_001.nii.gz"))
-    assert set(np.unique(seg_out)) <= {0, 1, 2, 3}  # 4 remapped to 3
+    # reference permutation (Dataset137_BraTS21.py:24-27): necrotic 1 -> 2,
+    # edema 2 -> 1, enhancing (3 or legacy 4) -> 3
+    assert set(np.unique(seg_out)) == {0, 1, 2, 3}
+    assert np.all(seg_out[2:4] == 2) and np.all(seg_out[4:5] == 1)
+    assert np.all(seg_out[5:6] == 3) and np.all(seg_out[6:] == 0)
     from anatomask_tpu.plans.plans_handler import load_json
     dsj = load_json(os.path.join(out, "dataset.json"))
     assert dsj["labels"]["whole_tumor"] == [1, 2, 3]
+    assert dsj["labels"]["tumor_core"] == [2, 3]  # permuted convention
+    # back-conversion inverts the permutation exactly (:33-38)
+    train = np.arange(4, dtype=np.uint8)
+    assert convert_labels_back_to_brats(train).tolist() == [0, 2, 1, 3]
+    orig = np.array([0, 1, 2, 3], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        convert_labels_back_to_brats(remap_brats_labels(orig)), orig)
+    back_dir = tmp_path / "preds_back"
+    n = convert_folder_back_to_brats(os.path.join(out, "labelsTr"), str(back_dir))
+    assert n == 2
+    back, _ = read_nifti(str(back_dir / "BraTS_001.nii.gz"))
+    assert np.all(back[2:4] == 1) and np.all(back[4:5] == 2) and np.all(back[5:6] == 3)
+
+
+def test_convert_brats21_naming(tmp_path, rng):
+    """BraTS'21 per-case file naming (-t1n/-t1c/-t2w/-t2f/-seg,
+    Dataset137_BraTS21.py:78-83) is accepted too."""
+    from anatomask_tpu.imageio.nifti import write_nifti
+    setup_env(tmp_path)
+    src = tmp_path / "brats21_src"
+    case = "BraTS2021_00001"
+    d = src / case
+    d.mkdir(parents=True)
+    for mod in ("t1n", "t1c", "t2w", "t2f"):
+        write_nifti(str(d / f"{case}-{mod}.nii.gz"),
+                    rng.rand(6, 7, 8).astype(np.float32))
+    seg = np.zeros((6, 7, 8), dtype=np.uint8)
+    seg[1:2] = 1; seg[2:3] = 2; seg[3:4] = 3
+    write_nifti(str(d / f"{case}-seg.nii.gz"), seg)
+    from anatomask_tpu.dataset_conversion.convert_brats import convert_brats_dataset
+    from anatomask_tpu.imageio.nifti import read_nifti
+    out = convert_brats_dataset(str(src), 938, "BraTS21Test")
+    seg_out, _ = read_nifti(os.path.join(out, "labelsTr", f"{case}.nii.gz"))
+    assert np.all(seg_out[1:2] == 2) and np.all(seg_out[2:3] == 1)
+    assert np.all(seg_out[3:4] == 3)
 
 
 def test_convert_acdc_style(tmp_path, rng):

@@ -65,6 +65,27 @@ def test_collect_and_summarize_results(tmp_path, monkeypatch):
     assert "nan" in open(out2).read().splitlines()[1]
 
 
+def test_wrap_commands_for_scheduler():
+    """LSF bsub emission shape matches the reference generator
+    (generate_lsf_runs_customDecathlon.py:82-85); slurm + none variants."""
+    from anatomask_tpu.utils.batch_running import (
+        generate_training_commands, wrap_commands_for_scheduler)
+    cmds = generate_training_commands([137], ("3d_fullres",), folds=(0,),
+                                      extra_args="--disable_checkpointing")
+    assert cmds == ["atk_train 137 3d_fullres 0 -tr ATKTrainer -p ATKPlans "
+                    "--disable_checkpointing"]
+    lsf = wrap_commands_for_scheduler(
+        cmds, "lsf", scheduler_args='-q gpu-lowprio -gpu num=1',
+        preamble="source ~/env.sh && ")
+    assert lsf == ['bsub -q gpu-lowprio -gpu num=1 -L /bin/bash '
+                   '"source ~/env.sh && ' + cmds[0] + '"']
+    slurm = wrap_commands_for_scheduler(cmds, "slurm", "--gres=tpu:1")
+    assert slurm == ['sbatch --gres=tpu:1 --wrap "' + cmds[0] + '"']
+    assert wrap_commands_for_scheduler(cmds, "none") == cmds
+    with pytest.raises(ValueError):
+        wrap_commands_for_scheduler(cmds, "pbs")
+
+
 def test_xepochs_nomirroring_presets():
     from anatomask_tpu.training.trainer import get_trainer_config
     for n in (250, 2000, 4000, 8000):
