@@ -25,6 +25,16 @@ formulas against the cached window's geometry. For cases larger than the
 window cap the patch distribution covers a rotating random window per refill
 instead of the whole case each draw — documented divergence, bounded by
 refill cycling; the host pipeline remains the default for supervised training.
+
+Supervised training (include_seg=True): the seg channels are stacked after the
+image channels in the same slot array (margin filled with -1, the reference's
+out-of-bounds seg pad, data_loader_3d.py:7-49) and split off after the device
+extraction. Labels are stored in the cache dtype; bf16 represents integers in
+[-256, 256] exactly, so Trainer gates the cache on max|label| <= 256. Beyond
+fixing the per-step H2D transfer cost, on this dev environment the cache also
+sidesteps a measured axon-client defect: EVERY host->device transfer leaks its
+full host buffer (~100% of bytes, never reclaimed; see CLAUDE.md), which
+OOM-killed long host-pipeline runs.
 """
 from __future__ import annotations
 
@@ -91,6 +101,9 @@ class DeviceCaseCache:
         window_cap: Optional[Sequence[int]] = None,
         max_class_locs: int = 5000,
         sharding=None,
+        include_seg: bool = False,
+        seg_fill: float = -1.0,
+        whole_dataset_mode: bool = False,
     ):
         self.dataset = dataset
         self.keys = sorted(dataset.keys())
@@ -111,6 +124,8 @@ class DeviceCaseCache:
                                                 else seed + 9173)
         self.dtype = dtype
         self.sharding = sharding
+        self.include_seg = include_seg
+        self.seg_fill = float(seg_fill)
 
         # survey case shapes from the npy/npz HEADERS only (a full load_case
         # on the npz fallback would decompress every case just for .shape);
@@ -121,7 +136,13 @@ class DeviceCaseCache:
             return dataset.load_case(k)[0].shape
 
         shapes = [_shape(k) for k in self.keys[: min(len(self.keys), 64)]]
-        self.num_channels = shapes[0][0]
+        self.num_data_channels = shapes[0][0]
+        self.num_seg_channels = 0
+        if include_seg:
+            # seg channel count comes from one real load (mmap'd: cheap);
+            # cascade stacks the previous-stage seg as extra channels
+            self.num_seg_channels = dataset.load_case(self.keys[0])[1].shape[0]
+        self.num_channels = self.num_data_channels + self.num_seg_channels
         max_shape = np.max(np.asarray([s[1:] for s in shapes], int), axis=0)
         cap = (np.asarray(window_cap, int) if window_cap is not None
                else self.initial_patch * 2)
@@ -137,7 +158,19 @@ class DeviceCaseCache:
                   f"{capacity_mb} MB budget; allocating 2 slots anyway "
                   f"({2 * bytes_per_slot / 2**20:.0f} MB of HBM) — shrink "
                   f"window_cap or raise device_cache_mb", flush=True)
-        self.num_slots = max(2, min(len(self.keys) * 4, budget_slots))
+        # whole-dataset residency: when every case fits its window untruncated
+        # AND the budget holds one slot per case, pin exactly one slot per
+        # case — uniform case sampling (matches the host sampler's key draw)
+        # and background refills become pure redundancy (caller may skip
+        # start_refill entirely)
+        self.covers_whole_cases = bool(np.all(self.window >= max_shape))
+        if (whole_dataset_mode and self.covers_whole_cases
+                and budget_slots >= len(self.keys)):
+            self.num_slots = max(2, len(self.keys))
+            self.whole_dataset_resident = True
+        else:
+            self.num_slots = max(2, min(len(self.keys) * 4, budget_slots))
+            self.whole_dataset_resident = False
         self.meta: List[Optional[_SlotMeta]] = [None] * self.num_slots
         self._key_cursor = 0
         self._refill_queue: "queue.Queue" = queue.Queue(maxsize=2)
@@ -166,7 +199,7 @@ class DeviceCaseCache:
 
     def _prepare_slot_host(self) -> Tuple[np.ndarray, _SlotMeta]:
         key = self._next_key()
-        data, _, props = self.dataset.load_case(key)
+        data, seg, props = self.dataset.load_case(key)
         case_shape = np.asarray(data.shape[1:], int)
         win = np.minimum(case_shape, self.window)
         # random window for oversized cases (re-randomized each refill)
@@ -174,9 +207,17 @@ class DeviceCaseCache:
                        for c, w in zip(case_shape, win)])
         offset = ((np.asarray(self.slot_shape) - win) // 2).astype(int)
         slot = np.zeros((*self.slot_shape, self.num_channels), np.float32)
+        if self.include_seg:
+            # out-of-case margin: data pads with 0, seg with -1 (reference
+            # data_loader_3d.py:7-49 pad semantics)
+            slot[..., self.num_data_channels:] = self.seg_fill
         sl_src = tuple(slice(int(l), int(l + w)) for l, w in zip(lo, win))
         sl_dst = tuple(slice(int(o), int(o + w)) for o, w in zip(offset, win))
         block = np.moveaxis(np.asarray(data[(slice(None), *sl_src)]), 0, -1)
+        if self.include_seg:
+            seg_block = np.moveaxis(np.asarray(seg[(slice(None), *sl_src)]), 0, -1)
+            block = np.concatenate(
+                [block.astype(slot.dtype), seg_block.astype(slot.dtype)], axis=-1)
         slot[sl_dst] = block.astype(slot.dtype)
 
         # translate class_locations into slot coordinates, window-filtered

@@ -116,6 +116,16 @@ class TrainerConfig:
     # analog; plans memory targets assume torch's allocator, so large-patch
     # configs can need this on 16G HBM)
     remat: bool = False
+    # HBM-resident case cache for supervised training (data/device_cache.py,
+    # same design the SSL pretrainer defaults to): host sends only
+    # (slot, origin) pairs, patches + seg are sliced on device. None = env
+    # ATK_SUP_DEVICE_CACHE (default off: the host pipeline stays the
+    # reference-faithful default for supervised — the cache samples oversized
+    # cases through a rotating window). Auto-falls back to the host pipeline
+    # for multi-process runs, cascade stages, benchmark dummies, and label
+    # sets whose values exceed the cache dtype's exact-integer range.
+    device_cache: Optional[bool] = None
+    device_cache_mb: int = 1024
 
 
 def stunet_trainer_config(size: str = "B", **overrides) -> TrainerConfig:
@@ -573,7 +583,10 @@ class Trainer:
     def _to_global(self, arr) -> jax.Array:
         """Host batch -> device array. Single process: plain transfer (GSPMD
         reshards). Multi-host: assemble the global batch from per-process local
-        shards."""
+        shards. Already-global jax.Arrays (pre-staged dummy benchmark batches)
+        pass through untouched."""
+        if isinstance(arr, jax.Array):
+            return arr
         if jax.process_count() == 1:
             return jnp.asarray(arr)
         return jax.make_array_from_process_local_data(
@@ -700,7 +713,110 @@ class Trainer:
             device_put=jax.process_count() == 1, transfer_dtype=tdt)
         self.loader_val = PrefetchPipeline(self.sampler_val, num_workers=max(1, n_workers // 2))
         self._val_keys = val_keys
+        self._setup_device_cache(ds_tr, ds_val, sample_patch, patch,
+                                 local_bs, local_os, annotated_key,
+                                 cascade=cm.previous_stage_name is not None)
         return self.loader_train, self.loader_val
+
+    def _setup_device_cache(self, ds_tr, ds_val, sample_patch, patch,
+                            local_bs, local_os, annotated_key, cascade):
+        """Optional HBM-resident case cache for the supervised loop (device
+        patch+seg extraction; host sends only (slot, origin) pairs). Gated to
+        configurations where it is exact and applicable; everything else keeps
+        the host pipeline."""
+        self.device_cache_train = self.device_cache_val = None
+        enabled = self.cfg.device_cache
+        if enabled is None:
+            enabled = os.environ.get("ATK_SUP_DEVICE_CACHE", "0") == "1"
+        if not enabled or self.cfg.benchmark_no_dataloading:
+            return
+        labels = [v for v in self.label_manager.all_labels]
+        if self.label_manager.has_ignore_label:
+            labels.append(self.label_manager.ignore_label)
+        reasons = []
+        if not hasattr(self, "_replicated"):
+            reasons.append("initialize() has not run (no mesh/shardings yet)")
+        if jax.process_count() > 1:
+            reasons.append("multi-process run")
+        if cascade:
+            reasons.append("cascade stage (prev-stage seg channels)")
+        if self.cfg.compute_dtype == "bfloat16" and max(
+                abs(int(v)) for v in labels) > 256:
+            reasons.append("labels exceed bf16 exact-integer range")
+        if reasons:
+            self.print_to_log_file(
+                f"[device-cache] falling back to the host pipeline: "
+                f"{'; '.join(reasons)}")
+            return
+        from anatomask_tpu.data.device_cache import DeviceCaseCache
+        cache_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
+                       else jnp.float32)
+        common = dict(
+            oversample_foreground_percent=local_os,
+            probabilistic_oversampling=self.cfg.probabilistic_oversampling,
+            annotated_classes_key=annotated_key,
+            has_ignore=self.label_manager.has_ignore_label,
+            batch_size=local_bs, dtype=cache_dtype, include_seg=True,
+            sharding=self._replicated, whole_dataset_mode=True,
+        )
+        self.device_cache_train = DeviceCaseCache(
+            ds_tr, initial_patch=sample_patch, final_patch=patch,
+            capacity_mb=self.cfg.device_cache_mb,
+            seed=self.cfg.seed + 555, **common)
+        iters_hint = max(1, self.cfg.num_iterations_per_epoch)
+        steps_per_slot = int(os.environ.get(
+            "ATK_SUP_CACHE_STEPS_PER_SLOT",
+            max(1, iters_hint // self.device_cache_train.num_slots)))
+        if self.device_cache_train.whole_dataset_resident:
+            # every training case is fully resident — refills would only
+            # re-stage identical data (and every H2D costs host RAM on the
+            # dev tunnel, see device_cache.py docstring)
+            self.print_to_log_file(
+                "[device-cache] whole training set resident; refills off")
+        else:
+            self.device_cache_train.start_refill(steps_per_slot=steps_per_slot)
+        if self.cfg.num_val_iterations_per_epoch > 0:
+            self.device_cache_val = DeviceCaseCache(
+                ds_val, initial_patch=patch, final_patch=patch,
+                capacity_mb=max(256, self.cfg.device_cache_mb // 4),
+                seed=self.cfg.seed + 556, **common)
+            if not self.device_cache_val.whole_dataset_resident:
+                self.device_cache_val.start_refill(
+                    steps_per_slot=max(1, self.cfg.num_val_iterations_per_epoch
+                                       // self.device_cache_val.num_slots))
+        nC = self.device_cache_train.num_data_channels
+        repl, bsh = self._replicated, self._batch_sharding
+
+        def make_extract(patch_shape):
+            px, py, pz = (int(v) for v in patch_shape)
+
+            def fn(cache, slots, origins):
+                def one(s, o):
+                    return jax.lax.dynamic_slice(
+                        cache, (s, o[0], o[1], o[2], 0),
+                        (1, px, py, pz, cache.shape[-1]))[0]
+                pat = jax.vmap(one)(slots, origins)
+                # bf16 cache holds exact integer labels (gate above); direct
+                # cast back to the host pipeline's seg dtype
+                return pat[..., :nC], pat[..., nC:].astype(jnp.int16)
+
+            return jax.jit(fn, in_shardings=(repl, repl, repl),
+                           out_shardings=(bsh, bsh))
+
+        self._cache_extract_train = make_extract(sample_patch)
+        self._cache_extract_val = make_extract(patch)
+        self.print_to_log_file(
+            f"[device-cache] supervised: {self.device_cache_train.num_slots} "
+            f"train + {getattr(self.device_cache_val, 'num_slots', 0)} val "
+            f"slots of {self.device_cache_train.slot_shape} in HBM "
+            f"(~{self.cfg.device_cache_mb} MB budget), refill every "
+            f"{steps_per_slot} steps; host sends only (slot, origin) pairs")
+
+    def _cache_batch(self, cache, extract_fn):
+        slots, origins = cache.sample_batch()
+        data, seg = extract_fn(cache.cache, jnp.asarray(slots),
+                               jnp.asarray(origins))
+        return {"data": data, "seg": seg}
 
     # --- checkpointing --------------------------------------------------------
     def _checkpoint_meta(self) -> dict:
@@ -817,13 +933,23 @@ class Trainer:
                 }
 
             # train dummies carry the augmentation margin (the train step
-            # augments+crops in-jit); val consumes patch-size center crops
-            dummy_batch = _dummy(sample_patch)
+            # augments+crops in-jit); val consumes patch-size center crops.
+            # Staged to the device ONCE: re-transferring the same dummy every
+            # iteration would re-add the host link the no-dataloading
+            # benchmark exists to exclude (reference analog keeps the dummy
+            # batch GPU-resident, nnUNetTrainerBenchmark_5epochs_noDataLoading)
+            d = _dummy(sample_patch)
+            dummy_batch = {k: self._to_global(v) for k, v in d.items()}
             if self.cfg.num_val_iterations_per_epoch > 0:
-                dummy_val_batch = _dummy(tuple(cm.patch_size))
+                d = _dummy(tuple(cm.patch_size))
+                dummy_val_batch = {k: self._to_global(v) for k, v in d.items()}
 
-        train_iter = iter(self.loader_train)
-        val_iter = iter(self.loader_val)
+        # with the device cache, the host prefetch threads never start — the
+        # host draws only (slot, origin) pairs and the device slices patches
+        cache_tr = getattr(self, "device_cache_train", None)
+        cache_val = getattr(self, "device_cache_val", None)
+        train_iter = iter(self.loader_train) if cache_tr is None else None
+        val_iter = iter(self.loader_val) if cache_val is None else None
         start_epoch = self.current_epoch
         try:
             for epoch in range(self.current_epoch, self.cfg.num_epochs):
@@ -845,13 +971,20 @@ class Trainer:
 
                 train_losses = []
                 for _ in range(self.cfg.num_iterations_per_epoch):
-                    batch = dummy_batch if dummy_batch is not None else next(train_iter)
+                    if dummy_batch is not None:
+                        batch = dummy_batch
+                    elif cache_tr is not None:
+                        batch = self._cache_batch(cache_tr, self._cache_extract_train)
+                    else:
+                        batch = next(train_iter)
                     rng, sub = jax.random.split(rng)
                     self.params, self.opt_state, loss = self._train_step(
                         self.params, self.opt_state, sub,
                         self._to_global(batch["data"]), self._to_global(batch["seg"]),
                     )
                     self.step_counter += 1
+                    if cache_tr is not None:
+                        cache_tr.maybe_refill()
                     train_losses.append(loss)
                 train_loss = float(np.mean(jax.device_get(train_losses)))
                 if getattr(self, "_profiling", False):
@@ -868,8 +1001,14 @@ class Trainer:
                 if self.cfg.num_val_iterations_per_epoch > 0:
                     val_losses, tps, fps, fns = [], [], [], []
                     for _ in range(self.cfg.num_val_iterations_per_epoch):
-                        batch = (dummy_val_batch if dummy_val_batch is not None
-                                 else next(val_iter))
+                        if dummy_val_batch is not None:
+                            batch = dummy_val_batch
+                        elif cache_val is not None:
+                            batch = self._cache_batch(cache_val,
+                                                      self._cache_extract_val)
+                            cache_val.maybe_refill()
+                        else:
+                            batch = next(val_iter)
                         rng, sub = jax.random.split(rng)
                         loss, tp, fp, fn = self._val_step(
                             self.params, sub, self._to_global(batch["data"]),
@@ -893,6 +1032,9 @@ class Trainer:
             self._join_ckpt_writer()
             self.loader_train.stop()
             self.loader_val.stop()
+            for cache in (cache_tr, cache_val):
+                if cache is not None:
+                    cache.stop()
 
         self.save_checkpoint("checkpoint_final.npz")
         latest = os.path.join(self.output_folder, "checkpoint_latest.npz")

@@ -145,23 +145,35 @@ def finetune(pretrained_ckpt):
     if os.path.isfile(partial_path):
         results.update(json.load(open(partial_path)))
         print(f"resuming finetune, arms done: {sorted(results)}", flush=True)
+    # ACC_ARMS="scratch" / "pretrained" runs a subset: the dev tunnel's axon
+    # client LEAKS every H2D transfer's host buffer (CLAUDE.md; the round-4
+    # 40-epoch scratch arm OOM-killed at 130 GB RSS), so the runner script
+    # executes one arm per PROCESS (RSS resets) with the supervised device
+    # cache on (near-zero per-step H2D) and mid-arm checkpoint resume.
+    only = os.environ.get("ACC_ARMS")
+    if only:
+        arms = [a for a in arms if a[0] in only.split(",")]
     for tag, ckpt, n_ep, interp_order in arms:
         if tag in results:
             continue
         cfg = stunet_trainer_config(
             "B", name=f"STUNetTrainer_base_{tag}", num_epochs=n_ep,
             num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
-            num_workers=4, save_every=100, remat=True,
+            num_workers=4, save_every=int(os.environ.get("ACC_FT_SAVE_EVERY", "5")),
+            remat=True,
             data_interpolation_order=interp_order,
+            device_cache=os.environ.get("ACC_SUP_CACHE", "1") == "1",
+            device_cache_mb=int(os.environ.get("ACC_SUP_CACHE_MB", "2048")),
         )
         tr = Trainer(os.path.join(pp, "ATKPlans.json"), "ft96", 0,
                      dataset_json, cfg)
-        tr.disable_checkpointing = True
         tr.initialize()
-        if ckpt:
+        resume = os.path.isfile(os.path.join(tr.output_folder,
+                                             "checkpoint_latest.npz"))
+        if ckpt and not resume:
             load_ssl_encoder_into_trainer(tr, ckpt)
         t0 = time.time()
-        tr.run_training()
+        tr.run_training(continue_training=resume)
         results[tag] = {
             "ema_fg_dice": [float(v) for v in tr.logger.logging["ema_fg_dice"]],
             "mean_fg_dice": [float(v) for v in tr.logger.logging["mean_fg_dice"]],
