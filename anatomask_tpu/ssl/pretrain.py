@@ -291,6 +291,7 @@ class PretrainTrainer:
             use_cache = (jax.process_count() == 1
                          and os.environ.get("ATK_DEVICE_CACHE", "1") == "1")
         self.device_cache = None
+        self.device_cache_val = None
         if use_cache:
             from anatomask_tpu.data.device_cache import DeviceCaseCache
             self.device_cache = DeviceCaseCache(
@@ -304,16 +305,40 @@ class PretrainTrainer:
                 batch_size=local_bs,
                 dtype=tdt or jnp.float32,
                 seed=self.cfg.seed + 77,
+                whole_dataset_mode=True,
             )
-            # turnover target: each slot refreshed about once per epoch
-            iters_hint = self.cfg.iters_per_epoch or 250
-            self.device_cache.start_refill(
-                steps_per_slot=max(1, iters_hint // self.device_cache.num_slots))
+            if self.device_cache.whole_dataset_resident:
+                self.print_to_log_file(
+                    "[device-cache] whole training set resident; refills off")
+            else:
+                # turnover target: each slot refreshed about once per epoch
+                iters_hint = self.cfg.iters_per_epoch or 250
+                self.device_cache.start_refill(
+                    steps_per_slot=max(1, iters_hint // self.device_cache.num_slots))
             self.print_to_log_file(
                 f"[device-cache] {self.device_cache.num_slots} slots of "
                 f"{self.device_cache.slot_shape} in HBM "
                 f"(~{self.cfg.device_cache_mb} MB budget); host sends only "
                 f"(slot, origin) pairs per step")
+            # validation patches come out of HBM too: the per-epoch val loop
+            # otherwise streams ~n_val full batches through the host link
+            # (slow-session tunnel: 10+ s/epoch, and every H2D leaks its host
+            # buffer on the dev tunnel — CLAUDE.md)
+            self.device_cache_val = DeviceCaseCache(
+                ds_val, initial_patch=patch, final_patch=patch,
+                capacity_mb=max(128, self.cfg.device_cache_mb // 4),
+                oversample_foreground_percent=local_os,
+                annotated_classes_key=annotated_key,
+                has_ignore=self.label_manager.has_ignore_label,
+                batch_size=local_bs,
+                dtype=tdt or jnp.float32,
+                seed=self.cfg.seed + 78,
+                whole_dataset_mode=True,
+            )
+            if not self.device_cache_val.whole_dataset_resident:
+                self.device_cache_val.start_refill(steps_per_slot=max(
+                    1, max(1, (self.cfg.iters_per_epoch or 250) // 5)
+                    // self.device_cache_val.num_slots))
         # SSL uses no labels on-device: seg stays on the host (it only feeds
         # the sampler's fg-oversampling), saving ~1/3 of the H2D bytes
         self.loader_train = PrefetchPipeline(
@@ -534,6 +559,34 @@ class PretrainTrainer:
             def spark_step_core(p, o, k, data):
                 return spark_step(p, o, k, data)
 
+            # chunked validation: ONE jitted dispatch extracts + scores all
+            # n_val batches from the val cache (replaces n_val host batch
+            # transfers + n_val dispatches per epoch)
+            if self.device_cache_val is not None:
+                vpatch = tuple(int(p) for p in self.device_cache_val.initial_patch)
+                if self.device_cache_val.sharding is None:
+                    self.device_cache_val.sharding = repl
+                    self.device_cache_val.cache = jax.device_put(
+                        self.device_cache_val.cache, repl)
+
+                def val_chunk(params, rng, cache, slots, origins):
+                    ks = jax.random.split(rng, slots.shape[0])
+
+                    def body(carry, inp):
+                        k_i, s_i, o_i = inp
+                        data = _extract_patches(cache, s_i, o_i, vpatch)
+                        data = jax.lax.with_sharding_constraint(data, bsh)
+                        return carry, val_step(params, k_i, data)
+
+                    _, losses = jax.lax.scan(body, 0, (ks, slots, origins))
+                    return losses
+
+                self._val_chunk = jax.jit(
+                    val_chunk,
+                    in_shardings=(repl, repl, self.device_cache_val.sharding,
+                                  repl, repl),
+                    out_shardings=repl)
+
             cache_sh = (self.device_cache.sharding if
                         self.device_cache.sharding is not None else repl)
             if cfg.method == "spark":
@@ -654,7 +707,8 @@ class PretrainTrainer:
         rng = jax.random.PRNGKey(cfg.seed + 999)
         train_iter = (iter(self.loader_train) if self.device_cache is None
                       else None)
-        val_iter = iter(self.loader_val)
+        val_iter = (iter(self.loader_val) if self.device_cache_val is None
+                    else None)
         history = {"train_loss": [], "val_loss": [], "ema_loss": []}
         best_val = np.inf
         ema_loss = None
@@ -736,12 +790,22 @@ class PretrainTrainer:
 
                 # validation loss under a fresh random mask
                 tv0 = time.time()
-                vlosses = []
-                for _ in range(max(1, self.iters_per_epoch // 5)):
-                    batch = next(val_iter)
+                n_val = max(1, self.iters_per_epoch // 5)
+                if self.device_cache_val is not None:
+                    # one dispatch: extract + score all n_val batches from HBM
+                    slots, origins = self.device_cache_val.sample_chunk(n_val)
                     rng, sub = jax.random.split(rng)
-                    vlosses.append(self._val_step(
-                        self.params, sub, self._to_global(batch["data"])))
+                    vlosses = self._val_chunk(
+                        self.params, sub, self.device_cache_val.cache,
+                        jnp.asarray(slots), jnp.asarray(origins))
+                    self.device_cache_val.maybe_refill(n_val)
+                else:
+                    vlosses = []
+                    for _ in range(n_val):
+                        batch = next(val_iter)
+                        rng, sub = jax.random.split(rng)
+                        vlosses.append(self._val_step(
+                            self.params, sub, self._to_global(batch["data"])))
                 val_loss = float(np.mean(jax.device_get(vlosses)))
                 t_val = time.time() - tv0
 
@@ -783,6 +847,8 @@ class PretrainTrainer:
             self.loader_val.stop()
             if self.device_cache is not None:
                 self.device_cache.stop()
+            if self.device_cache_val is not None:
+                self.device_cache_val.stop()
         self.save_checkpoint("checkpoint_final.npz")
         with open(os.path.join(self.output_folder, "history.json"), "w") as f:
             json.dump(history, f)

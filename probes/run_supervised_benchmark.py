@@ -37,11 +37,26 @@ def main():
     iters = int(os.environ.get("BM_ITERS", "250"))
     val_iters = int(os.environ.get("BM_VAL_ITERS", "50"))
     results = {}
-    for preset in ("ATKTrainerBenchmark_5epochs_noDataLoading",
-                   "ATKTrainerBenchmark_5epochs"):
-        cfg = replace(TRAINER_PRESETS[preset],
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(repo, "BENCH_supervised_r04.json")
+    if os.path.isfile(bench_path):  # merge: re-runs add variants, not clobber
+        results.update(json.load(open(bench_path)))
+    presets = ("ATKTrainerBenchmark_5epochs_noDataLoading",
+               "ATKTrainerBenchmark_5epochs",
+               # round 4: same with-dataloading protocol through the
+               # HBM-resident supervised device cache — measures how much of
+               # the host pipeline the cache hides
+               "ATKTrainerBenchmark_5epochs_deviceCache")
+    only = os.environ.get("BM_ONLY")
+    for preset in presets:
+        if only and preset not in only.split(","):
+            continue
+        cfg = replace(TRAINER_PRESETS[preset.replace("_deviceCache", "")],
+                      name=preset,
                       num_iterations_per_epoch=iters,
                       num_val_iterations_per_epoch=val_iters,
+                      device_cache=preset.endswith("_deviceCache") or None,
+                      device_cache_mb=3072,
                       # plans memory targets model torch's allocator; the jit
                       # step needs remat at plans-sized patches on 16G (CLAUDE.md)
                       remat=True, num_workers=4)
@@ -58,8 +73,7 @@ def main():
         results[preset]["batch_size"] = int(tr.global_batch_size)
         print(f"{preset}: {json.dumps(results[preset])}", flush=True)
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_supervised_r04.json"), "w") as f:
+    with open(bench_path, "w") as f:
         json.dump(results, f, indent=1)
     print("DONE", flush=True)
 
