@@ -60,11 +60,11 @@ class _SlotMeta:
         self.class_locations = class_locations   # {cls: (n, 3) slot coords}
 
 
-@partial(jax.jit, static_argnames=("patch",), donate_argnums=())
-def _extract_patches(cache, slots, origins, patch):
-    """cache (S, X, Y, Z, C); slots (B,) int32; origins (B, 3) int32 ->
-    (B, *patch, C)."""
-    px, py, pz = patch
+def extract_patches_impl(cache, slots, origins, patch):
+    """Traceable body shared by every cache consumer (the jit below and the
+    supervised Trainer's sharded extract): cache (S, X, Y, Z, C); slots (B,)
+    int32; origins (B, 3) int32 -> (B, *patch, C)."""
+    px, py, pz = (int(v) for v in patch)
 
     def one(s, o):
         return jax.lax.dynamic_slice(
@@ -72,6 +72,10 @@ def _extract_patches(cache, slots, origins, patch):
             (1, px, py, pz, cache.shape[-1]))[0]
 
     return jax.vmap(one)(slots, origins)
+
+
+_extract_patches = partial(jax.jit, static_argnames=("patch",),
+                           donate_argnums=())(extract_patches_impl)
 
 
 # in-place (donated) single-slot refill
@@ -135,7 +139,14 @@ class DeviceCaseCache:
                 return tuple(dataset.case_shape(k))
             return dataset.load_case(k)[0].shape
 
-        shapes = [_shape(k) for k in self.keys[: min(len(self.keys), 64)]]
+        # header-only case_shape makes a full survey cheap; without it the
+        # survey is capped at 64 loads UNLESS whole-dataset residency is on
+        # the table — covers_whole_cases below must have seen EVERY case
+        # before refills may be turned off
+        n_survey = (len(self.keys)
+                    if (whole_dataset_mode or hasattr(dataset, "case_shape"))
+                    else min(len(self.keys), 64))
+        shapes = [_shape(k) for k in self.keys[:n_survey]]
         self.num_data_channels = shapes[0][0]
         self.num_seg_channels = 0
         if include_seg:
@@ -163,7 +174,8 @@ class DeviceCaseCache:
         # case — uniform case sampling (matches the host sampler's key draw)
         # and background refills become pure redundancy (caller may skip
         # start_refill entirely)
-        self.covers_whole_cases = bool(np.all(self.window >= max_shape))
+        self.covers_whole_cases = (bool(np.all(self.window >= max_shape))
+                                   and n_survey == len(self.keys))
         if (whole_dataset_mode and self.covers_whole_cases
                 and budget_slots >= len(self.keys)):
             self.num_slots = max(2, len(self.keys))
@@ -336,27 +348,34 @@ class DeviceCaseCache:
         self._refill_thread = threading.Thread(target=worker, daemon=True)
         self._refill_thread.start()
 
-    def maybe_refill(self, steps: int = 1) -> bool:
-        """Apply at most one staged slot refill, at most every
-        `steps_per_slot` train steps (non-blocking). `steps` is how many train
-        steps the caller ran since the last call (chunked training advances
-        several steps per call). Returns True if a slot was replaced."""
-        self._steps_since_refill = getattr(self, "_steps_since_refill", 0) + steps
-        if self._steps_since_refill < getattr(self, "_refill_every", 1):
-            return False
-        try:
-            item = self._refill_queue.get_nowait()
-        except queue.Empty:
-            return False
-        if isinstance(item, Exception):
-            raise RuntimeError("device-cache refill worker died") from item
-        dev, meta = item
-        self._steps_since_refill = 0
-        idx = self._refill_cursor
-        self._refill_cursor = (self._refill_cursor + 1) % self.num_slots
-        self.cache = _write_slot(self.cache, jnp.int32(idx), dev)
-        self.meta[idx] = meta
-        return True
+    def maybe_refill(self, steps: int = 1) -> int:
+        """Apply staged slot refills, at most one per `steps_per_slot` train
+        steps (non-blocking). `steps` is how many train steps the caller ran
+        since the last call — chunked training advances several steps per
+        call, and epoch-granular callers (the val cache) pass a whole epoch's
+        worth, earning several replacements in one call. Accrued credit is
+        capped at the staging-queue depth so a long stall can't be followed
+        by an unthrottled burst. Returns the number of slots replaced."""
+        every = getattr(self, "_refill_every", 1)
+        self._steps_since_refill = min(
+            getattr(self, "_steps_since_refill", 0) + steps,
+            self._refill_queue.maxsize * every)
+        applied = 0
+        while self._steps_since_refill >= every:
+            try:
+                item = self._refill_queue.get_nowait()
+            except queue.Empty:
+                break
+            if isinstance(item, Exception):
+                raise RuntimeError("device-cache refill worker died") from item
+            dev, meta = item
+            self._steps_since_refill -= every
+            idx = self._refill_cursor
+            self._refill_cursor = (self._refill_cursor + 1) % self.num_slots
+            self.cache = _write_slot(self.cache, jnp.int32(idx), dev)
+            self.meta[idx] = meta
+            applied += 1
+        return applied
 
     def stop(self):
         self._stop.set()

@@ -219,8 +219,13 @@ def convert_torch_spark_state_dict(state_dict: dict) -> dict:
         if parts[0] == "sparse_encoder":
             enc_state[k] = arr  # handled by the STUNet adapter below
         elif parts[0] == "densify_norms":
+            # densify_norm='bn' checkpoints carry running stats too — drop
+            # them (training-mode norms here), else running_mean/var would
+            # land on (and overwrite) the bias leaf
             i, pname = parts[1], parts[2]
-            put([f"densify_norm{i}", "scale" if pname == "weight" else "bias"], arr)
+            if pname in ("weight", "bias"):
+                put([f"densify_norm{i}",
+                     "scale" if pname == "weight" else "bias"], arr)
         elif parts[0] == "densify_projs":
             i, pname = parts[1], parts[2]
             if pname == "weight":

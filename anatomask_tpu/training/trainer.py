@@ -748,7 +748,8 @@ class Trainer:
                 f"[device-cache] falling back to the host pipeline: "
                 f"{'; '.join(reasons)}")
             return
-        from anatomask_tpu.data.device_cache import DeviceCaseCache
+        from anatomask_tpu.data.device_cache import (DeviceCaseCache,
+                                                      extract_patches_impl)
         cache_dtype = (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16"
                        else jnp.float32)
         common = dict(
@@ -788,14 +789,10 @@ class Trainer:
         repl, bsh = self._replicated, self._batch_sharding
 
         def make_extract(patch_shape):
-            px, py, pz = (int(v) for v in patch_shape)
+            patch_shape = tuple(int(v) for v in patch_shape)
 
             def fn(cache, slots, origins):
-                def one(s, o):
-                    return jax.lax.dynamic_slice(
-                        cache, (s, o[0], o[1], o[2], 0),
-                        (1, px, py, pz, cache.shape[-1]))[0]
-                pat = jax.vmap(one)(slots, origins)
+                pat = extract_patches_impl(cache, slots, origins, patch_shape)
                 # bf16 cache holds exact integer labels (gate above); direct
                 # cast back to the host pipeline's seg dtype
                 return pat[..., :nC], pat[..., nC:].astype(jnp.int16)

@@ -147,9 +147,15 @@ def finetune(pretrained_ckpt):
         n_low = int(os.environ.get("ACC_LOWLABEL_CASES", "3"))
         splits_path = os.path.join(pp, "splits_final.json")
         splits = load_json(splits_path)
+        low_train = sorted(splits[0]["train"])[:n_low]
+        # (re)write fold 5 whenever its content doesn't match n_low — a
+        # stale fold from an earlier run with a different ACC_LOWLABEL_CASES
+        # would otherwise be silently reused under the new tag
         if len(splits) < 6:
-            splits.append({"train": sorted(splits[0]["train"])[:n_low],
-                           "val": splits[0]["val"]})
+            splits.append({"train": low_train, "val": splits[0]["val"]})
+            save_json(splits, splits_path, sort_keys=False)
+        elif splits[5]["train"] != low_train:
+            splits[5] = {"train": low_train, "val": splits[0]["val"]}
             save_json(splits, splits_path, sort_keys=False)
         arms += [(f"scratch_low{n_low}", None, FT_EPOCHS, 1, 5),
                  (f"pretrained_low{n_low}", pretrained_ckpt, FT_EPOCHS, 1, 5)]

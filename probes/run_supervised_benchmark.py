@@ -55,7 +55,9 @@ def main():
                       name=preset,
                       num_iterations_per_epoch=iters,
                       num_val_iterations_per_epoch=val_iters,
-                      device_cache=preset.endswith("_deviceCache") or None,
+                      # explicit bool: None would defer to ATK_SUP_DEVICE_CACHE
+                      # and could silently flip the host-pipeline variants
+                      device_cache=preset.endswith("_deviceCache"),
                       device_cache_mb=3072,
                       # plans memory targets model torch's allocator; the jit
                       # step needs remat at plans-sized patches on 16G (CLAUDE.md)

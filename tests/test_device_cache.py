@@ -152,3 +152,40 @@ def test_refill_throttle_counts_chunk_steps(cache):
         time.sleep(0.05)
     c.stop()
     assert applied
+
+
+def test_refill_credit_applies_multiple_slots(cache):
+    """Epoch-granular callers (the val cache) pass a whole epoch's worth of
+    steps in ONE maybe_refill call; the credit must buy several slot
+    replacements (bounded by the staging-queue depth), not one."""
+    import time
+    c, _ = cache
+    c.start_refill(steps_per_slot=4)
+    deadline = time.time() + 10
+    while time.time() < deadline and c._refill_queue.qsize() < 2:
+        time.sleep(0.05)
+    assert c._refill_queue.qsize() >= 2
+    applied = c.maybe_refill(steps=1000)
+    c.stop()
+    assert applied == 2
+
+
+def test_whole_dataset_residency_requires_full_survey():
+    """covers_whole_cases must never be claimed from a truncated shape
+    survey: with >64 cases and the largest sorting last, residency mode has
+    to notice the oversized case (and an incomplete survey alone must
+    forbid turning refills off)."""
+    rng = np.random.RandomState(1)
+    cases = {f"c{i:03d}": _make_case(rng, (4, 4, 4)) for i in range(69)}
+    cases["c069"] = _make_case(rng, (12, 12, 12))  # sorts after the cap
+    kw = dict(initial_patch=(4, 4, 4), final_patch=(4, 4, 4), capacity_mb=1,
+              batch_size=2, dtype=jnp.float32, seed=0, window_cap=(6, 6, 6))
+    c = DeviceCaseCache(FakeDataset(cases), whole_dataset_mode=True, **kw)
+    assert not c.covers_whole_cases
+    assert not c.whole_dataset_resident
+    # all-fitting dataset, but no case_shape and not in whole-dataset mode:
+    # the 64-case survey cap means the invariant cannot be certified
+    cases_small = {f"c{i:03d}": _make_case(rng, (4, 4, 4)) for i in range(70)}
+    c2 = DeviceCaseCache(FakeDataset(cases_small), whole_dataset_mode=False,
+                         **kw)
+    assert not c2.covers_whole_cases

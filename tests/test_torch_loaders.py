@@ -150,3 +150,25 @@ def test_loader_raises_on_incompatible():
     params = net.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 8, 1)))["params"]
     with pytest.raises(RuntimeError, match="no tensors transferred"):
         load_torch_pretrained_weights(params, {"garbage.weight": np.zeros((2, 2))})
+
+
+def test_spark_converter_drops_densify_bn_running_stats():
+    """densify_norm='bn' reference checkpoints carry running_mean/var +
+    num_batches_tracked per densify norm; the converter must keep only
+    weight/bias — running stats must never overwrite the bias leaf."""
+    from anatomask_tpu.training.checkpoint import convert_torch_spark_state_dict
+    import torch
+
+    C = 6
+    w, b = np.arange(C, dtype=np.float32), -np.arange(C, dtype=np.float32)
+    sd = {
+        "densify_norms.0.weight": torch.from_numpy(w),
+        "densify_norms.0.bias": torch.from_numpy(b),
+        "densify_norms.0.running_mean": torch.full((C,), 7.0),
+        "densify_norms.0.running_var": torch.full((C,), 9.0),
+        "densify_norms.0.num_batches_tracked": torch.tensor(123),
+    }
+    tree = convert_torch_spark_state_dict(sd)
+    np.testing.assert_array_equal(tree["densify_norm0"]["scale"], w)
+    np.testing.assert_array_equal(tree["densify_norm0"]["bias"], b)
+    assert set(tree["densify_norm0"]) == {"scale", "bias"}
