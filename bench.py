@@ -127,7 +127,13 @@ def main():
     # steps inside ONE jitted lax.fori_loop with the rng folded into the
     # carry, so the whole measurement is a single dispatch + ONE scalar
     # readback, amortizing tunnel latency to <1% of the measured window.
-    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1, 2))
+    # opt-in XLA compiler-option overrides (probe lever, e.g.
+    # '{"xla_tpu_scoped_vmem_limit_kib": "65536"}'); shipped default: none
+    _copts = os.environ.get("ATK_BENCH_COMPILER_OPTS")
+    _jit_kw = dict(compiler_options=json.loads(_copts)) if _copts else {}
+
+    @functools.partial(jax.jit, static_argnums=(5,), donate_argnums=(0, 1, 2),
+                       **_jit_kw)
     def run_chain(params, ema_params, opt_state, rng, x, n_steps):
         def body(i, carry):
             params, ema_params, opt_state, rng, _ = carry
