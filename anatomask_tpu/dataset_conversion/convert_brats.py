@@ -75,12 +75,22 @@ def _case_files(cdir: str, case: str):
     both the legacy '<case>_t1.nii.gz'/'<case>_seg.nii.gz' layout and the
     BraTS'21 '<case>-t1n.nii.gz'/'<case>-seg.nii.gz' layout
     (Dataset137_BraTS21.py:78-83)."""
+    # advisor (round 4): decide on the FULL file set, not the seg alone — a
+    # folder with a legacy seg but BraTS'21 modality names (or a missing
+    # modality) must fall through / be skipped, not crash mid-copy.
     legacy = [os.path.join(cdir, f"{case}_{m}.nii.gz") for m in BRATS_MODALITIES]
-    if os.path.isfile(os.path.join(cdir, f"{case}_seg.nii.gz")):
+    if (os.path.isfile(os.path.join(cdir, f"{case}_seg.nii.gz"))
+            and all(os.path.isfile(p) for p in legacy)):
         return legacy, os.path.join(cdir, f"{case}_seg.nii.gz")
     b21 = [os.path.join(cdir, f"{case}-{m}.nii.gz") for m in BRATS21_MODALITIES]
-    if os.path.isfile(os.path.join(cdir, f"{case}-seg.nii.gz")):
+    if (os.path.isfile(os.path.join(cdir, f"{case}-seg.nii.gz"))
+            and all(os.path.isfile(p) for p in b21)):
         return b21, os.path.join(cdir, f"{case}-seg.nii.gz")
+    if (os.path.isfile(os.path.join(cdir, f"{case}_seg.nii.gz"))
+            or os.path.isfile(os.path.join(cdir, f"{case}-seg.nii.gz"))):
+        import warnings
+        warnings.warn(f"BraTS case {case}: seg present but modality set "
+                      "incomplete under both naming conventions; skipping")
     return None, None
 
 

@@ -76,6 +76,15 @@ class PretrainConfig:
     # (tests/test_reference_parity.py pins full-model equality in that mode).
     decoder_norm: str = "in"
     decoder_width: Optional[int] = None  # default: encoder top width
+    # reference-fidelity mode: every InstanceNorm on the masked path (encoder
+    # blocks + densify norms) pools statistics across the whole batch's active
+    # voxels, the reference's exact B>1 law (encoder3D.py:153; at B=1 the laws
+    # coincide). Default False = per-sample InstanceNorm — the documented
+    # semantics, keeps microbatch grad accumulation exact, and is what all
+    # shipped perf/accuracy numbers use. Set True (with decoder_norm="bn") for
+    # reference-exact full-model parity at the shipped batch size 4
+    # (tests/test_reference_parity.py).
+    norm_batch_pooled: bool = False
     num_epochs: int = 1000
     iters_per_epoch: Optional[int] = None  # default floor(n_train / batch)
     lr: float = 1e-4                     # spark driver uses 2e-4
@@ -135,7 +144,8 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
     fmap = [int(p) // r for p in cfg.patch_size]
     len_keep = round(int(np.prod(fmap)) * (1 - cfg.mask_ratio))
     enc = SparseSTUNetEncoder(depth=depth, dims=dims, dtype=dtype, remat=remat,
-                              folded_feats=True, len_keep=len_keep)
+                              folded_feats=True, len_keep=len_keep,
+                              norm_batch_pooled=cfg.norm_batch_pooled)
     dec_width = cfg.decoder_width or dims[-1]
     dec = LightDecoder(up_sample_ratio=2 ** (len(dims) - 1), width=dec_width,
                        norm=cfg.decoder_norm, out_channels=in_channels,
@@ -143,6 +153,7 @@ def build_spark_model(cfg: PretrainConfig, in_channels: int = 1) -> SparK:
     return SparK(
         sparse_encoder=enc, dense_decoder=dec, input_size=tuple(cfg.patch_size),
         mask_ratio=cfg.mask_ratio, densify_norm=cfg.densify_norm, dtype=dtype,
+        norm_batch_pooled=cfg.norm_batch_pooled,
     )
 
 
@@ -336,6 +347,17 @@ class PretrainTrainer:
                 whole_dataset_mode=True,
             )
             if not self.device_cache_val.whole_dataset_resident:
+                # advisor (round 4): best_val checkpoint selection runs through
+                # this cache; when it is NOT whole-dataset resident, val
+                # patches come from a rotating random window (refill cadence
+                # bounded by the credit cap), so the val-loss distribution can
+                # drift from the host-pipeline definition. Surface it.
+                self.print_to_log_file(
+                    "[device-cache] WARNING: val cache holds "
+                    f"{self.device_cache_val.num_slots} of "
+                    f"{len(ds_val)} val cases — val loss samples a rotating "
+                    "window, not the full split; raise device_cache_mb to "
+                    "make best-checkpoint selection window-independent")
                 self.device_cache_val.start_refill(steps_per_slot=max(
                     1, max(1, (self.cfg.iters_per_epoch or 250) // 5)
                     // self.device_cache_val.num_slots))

@@ -80,6 +80,9 @@ class SparK(nn.Module):
     densify_norm: str = "in"
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # reference-fidelity mode: densify InstanceNorms pool statistics across
+    # the batch's active voxels (encoder3D.py:153 law; see SparseInstanceNorm)
+    norm_batch_pooled: bool = False
 
     @property
     def downsample_ratio(self) -> int:
@@ -126,7 +129,8 @@ class SparK(nn.Module):
                                    folded_depth=folded_depth, **dd)
         if kind == "in":
             return SparseInstanceNorm(name=name, epsilon=1e-6,
-                                      folded_depth=folded_depth, **dd)
+                                      folded_depth=folded_depth,
+                                      batch_pooled=self.norm_batch_pooled, **dd)
         return None  # identity
 
     @nn.compact

@@ -94,21 +94,36 @@ class SparseInstanceNorm(nn.Module):
     """Active-voxel-only InstanceNorm (reference SparseInstanceNorm :138 —
     per-sample per-channel stats over active voxels, affine, zeros outside).
     folded_depth=D: x is folded (B*D, H, W, C); stats via the folded
-    row-moment collapse (the activation never leaves the conv layout)."""
+    row-moment collapse (the activation never leaves the conv layout).
+
+    batch_pooled=True reproduces the reference's B>1 law EXACTLY: the gather
+    `x[ii[0], :, ii[1], ii[2], ii[3]]` (encoder3D.py:153) concatenates the
+    active voxels of the WHOLE batch into one unbatched (C, N) tensor before
+    InstanceNorm1d, so statistics pool ACROSS samples. The default (False) is
+    the per-sample law — what "InstanceNorm" means, and the shipped training
+    configuration; batch_pooled is the reference-fidelity mode for parity
+    (tests/test_reference_parity.py pins B=4 agreement under it)."""
     epsilon: float = 1e-5
     affine: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     folded_depth: int = None
+    batch_pooled: bool = False
 
     @nn.compact
     def __call__(self, x, active):
         if self.folded_depth is not None:
             m = mask_to_folded(active, self.folded_depth, x.shape[1:3])
-            mean, var = _masked_moments_folded(x, m, self.folded_depth)
+            if self.batch_pooled:
+                # pooled stats over every active voxel of every sample: the
+                # folded rows already enumerate (b, d); reduce over all of them
+                mean, var = _masked_moments(x, m, axes=(0, 1, 2))
+            else:
+                mean, var = _masked_moments_folded(x, m, self.folded_depth)
         else:
             m = mask_to_resolution(active, x.shape[1:4])
-            mean, var = _masked_moments(x, m, axes=(1, 2, 3))
+            axes = (0, 1, 2, 3) if self.batch_pooled else (1, 2, 3)
+            mean, var = _masked_moments(x, m, axes=axes)
         a = jax.lax.rsqrt(var + self.epsilon)
         b = -mean * a
         if self.affine:
@@ -359,6 +374,7 @@ class SparseBasicResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     folded_depth: int = None
+    norm_batch_pooled: bool = False
 
     @nn.compact
     def __call__(self, x, active):
@@ -382,10 +398,13 @@ class SparseBasicResBlock(nn.Module):
         else:
             m_out = mask_to_resolution(active, y.shape[1:4]).astype(y.dtype)
         y = nn.leaky_relu(SparseInstanceNorm(name="norm1", folded_depth=d_out,
+                                             batch_pooled=self.norm_batch_pooled,
                                              **dd)(y, active))
         y = ConvND(self.features, self.kernel_size, name="conv2",
                    folded_depth=d_out, **dd)(y)
-        y = SparseInstanceNorm(name="norm2", folded_depth=d_out, **dd)(y, active)
+        y = SparseInstanceNorm(name="norm2", folded_depth=d_out,
+                               batch_pooled=self.norm_batch_pooled,
+                               **dd)(y, active)
         if self.use_1x1conv:
             ones = (1,) * len(self.kernel_size)
             x = ConvND(self.features, ones, self.strides,
@@ -502,6 +521,7 @@ class _SparseResStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     folded_depth: int = None
+    norm_batch_pooled: bool = False
 
     @nn.compact
     def __call__(self, x, active, nb_pos=None):
@@ -521,10 +541,13 @@ class _SparseResStage(nn.Module):
                  if d_in is not None else None)
         x = SparseBasicResBlock(self.features, self.kernel_size, self.strides,
                                 use_1x1conv=True, name="block0",
-                                folded_depth=d_in, **dd)(x, active)
+                                folded_depth=d_in,
+                                norm_batch_pooled=self.norm_batch_pooled,
+                                **dd)(x, active)
         for b in range(1, self.depth):
             x = SparseBasicResBlock(self.features, self.kernel_size,
                                     name=f"block{b}", folded_depth=d_out,
+                                    norm_batch_pooled=self.norm_batch_pooled,
                                     **dd)(x, active)
         return x
 
@@ -549,6 +572,9 @@ class SparseSTUNetEncoder(nn.Module):
     # execution of the first ATK_BLOCK_SPARSE_STAGES stages when
     # ATK_BLOCK_SPARSE=1 (ops/block_sparse.py; only active blocks computed)
     len_keep: Optional[int] = None
+    # True: InstanceNorms pool statistics across the batch's active voxels —
+    # the reference's exact B>1 law (encoder3D.py:153); see SparseInstanceNorm
+    norm_batch_pooled: bool = False
 
     def _strides(self):
         if self.pool_op_kernel_sizes is not None:
@@ -576,6 +602,7 @@ class SparseSTUNetEncoder(nn.Module):
         downsampling after, 3^3 kernels, and blocks that stay >= 4 voxels."""
         import os
         if (self.len_keep is None
+                or self.norm_batch_pooled  # block norms are per-sample only
                 or os.environ.get("ATK_BLOCK_SPARSE", "0") != "1"):
             return 0
         want = int(os.environ.get("ATK_BLOCK_SPARSE_STAGES", "2"))
@@ -647,6 +674,7 @@ class SparseSTUNetEncoder(nn.Module):
             f, dep = self.dims[d], self.depth[d]
             x = Stage(f, dep, kernels[d], strides[d], dtype=self.dtype,
                       param_dtype=self.param_dtype, folded_depth=cur_d,
+                      norm_batch_pooled=self.norm_batch_pooled,
                       name=f"conv_blocks_context_{d}")(x, active)
             if folded:
                 cur_d = folded_out_depth(cur_d, kernels[d][0], strides[d][0])

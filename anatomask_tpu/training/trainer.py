@@ -727,7 +727,13 @@ class Trainer:
         self.device_cache_train = self.device_cache_val = None
         enabled = self.cfg.device_cache
         if enabled is None:
-            enabled = os.environ.get("ATK_SUP_DEVICE_CACHE", "0") == "1"
+            # round-5 default: AUTO-enable wherever the gate below finds no
+            # disqualifier, mirroring pretrain (ssl/pretrain.py device_cache
+            # auto). The host pipeline remains the documented fallback
+            # (ATK_SUP_DEVICE_CACHE=0 opts out); on the dev tunnel the host
+            # path leaks RSS per transfer (CLAUDE.md) and OOM-killed a 40-epoch
+            # run in round 4, so the safe path must not require an env var.
+            enabled = os.environ.get("ATK_SUP_DEVICE_CACHE", "1") == "1"
         if not enabled or self.cfg.benchmark_no_dataloading:
             return
         labels = [v for v in self.label_manager.all_labels]

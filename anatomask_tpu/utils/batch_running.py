@@ -63,11 +63,14 @@ def wrap_commands_for_scheduler(
     """
     if scheduler in ("none", ""):
         return list(cmds)
+    import shlex
     sa = f" {scheduler_args}" if scheduler_args else ""
+    # shlex.quote the submitted command (advisor, round 4): embedded quotes in
+    # preamble/extra_args must not break the bsub/sbatch line
     if scheduler == "lsf":
-        return [f'bsub{sa} -L /bin/bash "{preamble}{c}"' for c in cmds]
+        return [f"bsub{sa} -L /bin/bash {shlex.quote(preamble + c)}" for c in cmds]
     if scheduler == "slurm":
-        return [f'sbatch{sa} --wrap "{preamble}{c}"' for c in cmds]
+        return [f"sbatch{sa} --wrap {shlex.quote(preamble + c)}" for c in cmds]
     raise ValueError(f"unknown scheduler {scheduler!r} (lsf|slurm|none)")
 
 

@@ -172,14 +172,20 @@ def main():
     print(f"[bench] chained window 1: {dt:.3f}s  window 2: {dt2:.3f}s "
           f"({MEASURE_STEPS} steps each; spread "
           f"{abs(dt - dt2) / min(dt, dt2) * 100:.1f}%)", file=sys.stderr)
-    dt = min(dt, dt2)  # both are full-work windows; min rejects host jitter
+    # round-5 (advisor): report the MEAN of the two full-work windows (= median
+    # for n=2) rather than the min, and publish both window times in the JSON so
+    # the spread is visible to the driver. Window spread is ~0.1% in-session, so
+    # this is a reporting change, not a protocol change.
+    dt_mean = (dt + dt2) / 2.0
 
-    patches_per_sec = MEASURE_STEPS * BATCH / dt
+    patches_per_sec = MEASURE_STEPS * BATCH / dt_mean
     print(json.dumps({
         "metric": "anatomask_pretrain_patches_per_sec_per_chip",
         "value": round(patches_per_sec, 3),
         "unit": f"CT patches/sec/chip (STUNet-B, patch 112x112x128, bs {BATCH}, bf16)",
         "vs_baseline": round(patches_per_sec / BASELINE_A100_PATCHES_PER_SEC, 3),
+        "window_s": [round(dt, 3), round(dt2, 3)],
+        "steps_per_window": MEASURE_STEPS,
     }))
 
 

@@ -157,8 +157,14 @@ def finetune(pretrained_ckpt):
         elif splits[5]["train"] != low_train:
             splits[5] = {"train": low_train, "val": splits[0]["val"]}
             save_json(splits, splits_path, sort_keys=False)
-        arms += [(f"scratch_low{n_low}", None, FT_EPOCHS, 1, 5),
-                 (f"pretrained_low{n_low}", pretrained_ckpt, FT_EPOCHS, 1, 5)]
+        # ACC_FT_SEED (round 5): seed-replicate the label-efficiency claim —
+        # same task/split/pretrain checkpoint, different trainer seed (model
+        # init + patch sampling + augmentation stream). Tags get a _s{N}
+        # suffix so each seed checkpoints/records independently.
+        ft_seed = os.environ.get("ACC_FT_SEED")
+        sfx = f"_s{ft_seed}" if ft_seed else ""
+        arms += [(f"scratch_low{n_low}{sfx}", None, FT_EPOCHS, 1, 5),
+                 (f"pretrained_low{n_low}{sfx}", pretrained_ckpt, FT_EPOCHS, 1, 5)]
     # per-arm checkpointing: an arm that already finished (recorded in the
     # partial-results file) is never re-run — a dead process costs at most
     # the arm in flight, not everything before it
@@ -177,8 +183,11 @@ def finetune(pretrained_ckpt):
     for tag, ckpt, n_ep, interp_order, fold in arms:
         if tag in results:
             continue
+        seed = 12345
+        if "_s" in tag and tag.rsplit("_s", 1)[1].isdigit():
+            seed = 12345 + 1000003 * int(tag.rsplit("_s", 1)[1])
         cfg = stunet_trainer_config(
-            "B", name=f"STUNetTrainer_base_{tag}", num_epochs=n_ep,
+            "B", name=f"STUNetTrainer_base_{tag}", num_epochs=n_ep, seed=seed,
             num_iterations_per_epoch=ITERS, num_val_iterations_per_epoch=8,
             num_workers=4, save_every=int(os.environ.get("ACC_FT_SAVE_EVERY", "5")),
             remat=True,
@@ -257,7 +266,15 @@ def main():
     base = "accuracy_loop_hard" if HARD else "accuracy_loop"
     out_name = (f"{base}_result.json" if "finetune" in report
                 else f"{base}_pretrain_timing.json")
-    with open(os.path.join(os.path.dirname(__file__), out_name), "w") as f:
+    out_path = os.path.join(os.path.dirname(__file__), out_name)
+    if "finetune" in report and os.path.isfile(out_path):
+        # MERGE with the committed evidence file: a subset re-run (ACC_ARMS /
+        # seed arms) must add its arms, not clobber earlier rounds' arms
+        prev = json.load(open(out_path))
+        merged = prev.get("finetune", {})
+        merged.update(report["finetune"])
+        report["finetune"] = merged
+    with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print("DONE", flush=True)
     if "finetune" in report:

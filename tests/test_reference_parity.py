@@ -201,6 +201,59 @@ def test_full_model_forward_and_loss_parity(models_and_weights):
     assert np.abs(np.asarray(map_j) - map_t.numpy()).max() / map_scale < 5e-4
 
 
+def test_full_model_forward_and_loss_parity_b4(models_and_weights):
+    """Full-model parity at the SHIPPED batch size (pretrain_AntoMask.py:228
+    batch_size=4) under norm_batch_pooled=True — the mode that reproduces the
+    reference's B>1 law, where every Sparse*Norm pools statistics over the
+    whole batch's active voxels (encoder3D.py:17-25, :153). The param tree is
+    unchanged by the mode, so the B=1 fixture weights apply directly."""
+    import torch
+    import jax.numpy as jnp
+    from anatomask_tpu.ssl.decoder import LightDecoder
+    from anatomask_tpu.ssl.spark import SparK, spark_loss
+    from anatomask_tpu.ssl.sparse import SparseSTUNetEncoder
+
+    tmodel, jmodel, params = models_and_weights
+    B = 4
+    x = _rand_case(31, B=B)
+    keep = _make_mask(32, jmodel, B=B)
+
+    with torch.no_grad():
+        inp_t, rec_t = tmodel(torch.from_numpy(x),
+                              active_b1ff=torch.from_numpy(keep[:, None]))
+        loss_t, map_t = tmodel.forward_loss(
+            inp_t, rec_t, torch.from_numpy(keep[:, None]))
+
+    enc = SparseSTUNetEncoder(depth=(1,) * 5, dims=DIMS, folded_feats=False,
+                              norm_batch_pooled=True)
+    dec = LightDecoder(up_sample_ratio=16, width=DEC_WIDTH, norm="bn",
+                       out_channels=1)
+    jpooled = SparK(sparse_encoder=enc, dense_decoder=dec, input_size=INPUT,
+                    mask_ratio=MASK_RATIO, densify_norm="in",
+                    norm_batch_pooled=True, dtype=jnp.float32)
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    active = jnp.asarray(keep[..., None])
+    inp_j, rec_j = jpooled.apply({"params": params}, xj, active)
+    loss_j, map_j = spark_loss(inp_j, rec_j, active)
+
+    inp_t, rec_t = inp_t.numpy(), rec_t.numpy()
+    inp_j, rec_j = np.asarray(inp_j), np.asarray(rec_j)
+    assert inp_j.shape == inp_t.shape
+    np.testing.assert_allclose(inp_j, inp_t, rtol=0, atol=1e-5)
+    scale = np.abs(rec_t).max() + 1e-8
+    assert np.abs(rec_j - rec_t).max() / scale < 1e-4, (
+        f"rec rel err {np.abs(rec_j - rec_t).max() / scale}")
+    assert abs(float(loss_j) - float(loss_t)) / (abs(float(loss_t)) + 1e-8) < 5e-4
+    map_scale = np.abs(map_t.numpy()).max() + 1e-8
+    assert np.abs(np.asarray(map_j) - map_t.numpy()).max() / map_scale < 5e-4
+
+    # and the per-sample default must NOT match at B=4 (the laws genuinely
+    # differ; this guards against the pooled mode silently not engaging)
+    inp_d, rec_d = jmodel.apply({"params": params}, xj, active)
+    assert np.abs(np.asarray(rec_d) - rec_t).max() / scale > 1e-3
+
+
 def test_generate_mask_forced_set_parity(models_and_weights):
     import torch
     import jax

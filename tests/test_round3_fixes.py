@@ -78,10 +78,15 @@ def test_wrap_commands_for_scheduler():
         cmds, "lsf", scheduler_args='-q gpu-lowprio -gpu num=1',
         preamble="source ~/env.sh && ")
     assert lsf == ['bsub -q gpu-lowprio -gpu num=1 -L /bin/bash '
-                   '"source ~/env.sh && ' + cmds[0] + '"']
+                   "'source ~/env.sh && " + cmds[0] + "'"]
     slurm = wrap_commands_for_scheduler(cmds, "slurm", "--gres=tpu:1")
-    assert slurm == ['sbatch --gres=tpu:1 --wrap "' + cmds[0] + '"']
+    assert slurm == ["sbatch --gres=tpu:1 --wrap '" + cmds[0] + "'"]
     assert wrap_commands_for_scheduler(cmds, "none") == cmds
+    # embedded double quote must survive intact (advisor, round 4)
+    import shlex
+    tricky = 'atk_train 1 2d 0 -extra "a b"'
+    wrapped = wrap_commands_for_scheduler([tricky], "lsf")[0]
+    assert shlex.split(wrapped)[-1] == tricky
     with pytest.raises(ValueError):
         wrap_commands_for_scheduler(cmds, "pbs")
 

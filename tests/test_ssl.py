@@ -55,6 +55,37 @@ def test_sparse_instance_norm_matches_gather(rng):
             np.testing.assert_allclose(out[b, ..., c].reshape(-1)[~act], 0, atol=1e-6)
 
 
+def test_sparse_instance_norm_batch_pooled_matches_gather(rng):
+    """batch_pooled=True must equal the reference's B>1 law: gather the active
+    voxels of the WHOLE batch into one (C, N) tensor, normalize per channel
+    (encoder3D.py:153), scatter back. Folded path must agree with dense."""
+    x = rng.rand(3, 4, 4, 4, 5).astype(np.float32) * 5
+    mask = rng.rand(3, 2, 2, 2, 1) > 0.4
+    m_full = np.asarray(upsample_mask(jnp.array(mask), (2, 2, 2)))[..., 0]
+
+    out = SparseInstanceNorm(affine=False, batch_pooled=True).apply(
+        {}, jnp.array(x), jnp.array(mask))
+    out = np.asarray(out)
+    act = m_full.reshape(3, -1)
+    for c in range(5):
+        vals = np.concatenate([x[b, ..., c].reshape(-1)[act[b]] for b in range(3)])
+        mu, var = vals.mean(), vals.var()
+        for b in range(3):
+            got = out[b, ..., c].reshape(-1)[act[b]]
+            expect = (x[b, ..., c].reshape(-1)[act[b]] - mu) / np.sqrt(var + 1e-5)
+            np.testing.assert_allclose(got, expect, atol=1e-4)
+            np.testing.assert_allclose(out[b, ..., c].reshape(-1)[~act[b]], 0,
+                                       atol=1e-6)
+
+    # folded layout: x as (B*D, H, W, C) with folded_depth=D must match
+    xf = x.reshape(3 * 4, 4, 4, 5)
+    outf = SparseInstanceNorm(affine=False, batch_pooled=True,
+                              folded_depth=4).apply(
+        {}, jnp.array(xf), jnp.array(mask))
+    np.testing.assert_allclose(np.asarray(outf).reshape(out.shape), out,
+                               atol=1e-5)
+
+
 def test_sparse_batch_norm_stats(rng):
     x = rng.rand(3, 4, 4, 4, 2).astype(np.float32)
     mask = rng.rand(3, 2, 2, 2, 1) > 0.3

@@ -138,9 +138,26 @@ def test_cache_gated_off_for_benchmark_dummies(sup_cache_env):
     assert tr.device_cache_train is None
 
 
-def test_cache_off_by_default(sup_cache_env):
+def test_cache_auto_on_by_default_and_env_optout(sup_cache_env, monkeypatch):
+    """Round-5 default (VERDICT r4 item 4): device_cache=None AUTO-enables the
+    HBM case cache wherever the gate allows (mirrors pretrain); the host
+    pipeline stays available via ATK_SUP_DEVICE_CACHE=0 or device_cache=False."""
     plans_file, dataset_json = sup_cache_env
-    tr = _make_trainer(plans_file, dataset_json, name="ATKTrainerSupCacheD")
+    tr = _make_trainer(plans_file, dataset_json, name="ATKTrainerSupCacheD",
+                       device_cache_mb=64)
     tr.initialize()
     tr.get_dataloaders()
-    assert tr.device_cache_train is None
+    assert tr.device_cache_train is not None, "default must be the safe path"
+
+    monkeypatch.setenv("ATK_SUP_DEVICE_CACHE", "0")
+    tr2 = _make_trainer(plans_file, dataset_json, name="ATKTrainerSupCacheD0",
+                        device_cache_mb=64)
+    tr2.initialize()
+    tr2.get_dataloaders()
+    assert tr2.device_cache_train is None
+
+    tr3 = _make_trainer(plans_file, dataset_json, name="ATKTrainerSupCacheD1",
+                        device_cache=False)
+    tr3.initialize()
+    tr3.get_dataloaders()
+    assert tr3.device_cache_train is None
