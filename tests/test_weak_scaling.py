@@ -72,17 +72,20 @@ def test_step_runs_at_every_mesh_width(n_dev, tmp_path):
     dt = time.perf_counter() - t0
     assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
 
-    # record the weak-scaling baseline table (merged across param runs)
+    # record the weak-scaling baseline table ONCE (merged across param runs);
+    # later runs must not churn the committed baseline — virtual-CPU timings
+    # vary with host load and carry no signal (VERDICT r4 item 6)
     path = os.path.join(os.path.dirname(__file__), "..", "probes",
                         "weak_scaling_cpu.json")
     table = {}
     if os.path.isfile(path):
         with open(path) as f:
             table = json.load(f)
-    table[str(n_dev)] = {"per_device_batch": per_dev_batch,
-                         "step_seconds": round(dt, 4)}
-    with open(path, "w") as f:
-        json.dump(table, f, indent=1)
+    if str(n_dev) not in table:
+        table[str(n_dev)] = {"per_device_batch": per_dev_batch,
+                             "step_seconds": round(dt, 4)}
+        with open(path, "w") as f:
+            json.dump(table, f, indent=1)
 
 
 def test_mesh_width_does_not_change_values():
